@@ -1,0 +1,33 @@
+"""Test config: run everything on a virtual 8-device CPU mesh.
+
+The container's sitecustomize registers the axon TPU PJRT plugin at
+interpreter start and forces ``jax_platforms=axon,cpu`` via jax.config, so
+plain env vars are not enough — we must update the config after importing
+jax (before any backend is initialized).
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+assert jax.default_backend() == "cpu", (
+    "tests must run on CPU; got " + jax.default_backend()
+)
+assert len(jax.devices()) == 8
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
