@@ -1,0 +1,132 @@
+"""Image-similarity losses: windowed NCC, masked L1, MSE, NMI, Dice.
+
+- ``ncc_loss``: the reference NCC_Loss (/root/reference/util/losses.py:132-261):
+  local sums via a windowed (mean or gaussian) depthwise conv, Eugenio's
+  squared-cross formulation ``cc = cross^2 / (I_var * J_var + eps)``, and a
+  masked ``-sqrt(mean)`` reduction.
+- ``masked_l1``: reference calculate_L1_loss
+  (/root/reference/models/registration_model.py:255-263): sum(|a-b| * mask) /
+  sum(mask), plain mean when mask is None.
+- ``nmi_loss``: Parzen-window (Gaussian bins) global mutual information,
+  semantics of the reference NMI_Loss (util/losses.py:263-348).
+- ``dice_loss`` (util/losses.py:350-397), ``mse_loss``.
+
+All functions take NHWC / NDHWC tensors and run under jit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _window_kernel(kernel_type: str, kernel_var, nd: int):
+    if kernel_type == "mean":
+        k = np.ones(tuple(kernel_var), np.float32)
+    elif kernel_type == "gaussian":
+        sigma = kernel_var[0]
+        size = sigma * 3
+        size += (size + 1) % 2
+        coords = np.arange(size) - (size - 1) / 2.0
+        grids = np.meshgrid(*([coords] * nd), indexing="ij")
+        sq = sum(g ** 2 for g in grids)
+        k = (1.0 / (np.sqrt(2 * np.pi) * sigma)) * np.exp(-sq / (2 * sigma ** 2))
+        k = k.astype(np.float32)
+    else:
+        raise NotImplementedError(f"kernel {kernel_type} not implemented")
+    return k
+
+
+def _local_sums(I, J, filt_np):
+    """Windowed sums of I, J, I^2, J^2, IJ via one batched depthwise conv."""
+    nd = I.ndim - 2
+    pad = filt_np.shape[-1] // 2
+    stack = jnp.concatenate([I, J, I * I, J * J, I * J], axis=-1)
+    C = stack.shape[-1]
+    rhs = jnp.asarray(filt_np, I.dtype).reshape(filt_np.shape + (1, 1))
+    rhs = jnp.tile(rhs, (1,) * nd + (1, C))
+    dn = {1: ("NHC", "HIO", "NHC"),
+          2: ("NHWC", "HWIO", "NHWC"),
+          3: ("NDHWC", "DHWIO", "NDHWC")}[nd]
+    out = jax.lax.conv_general_dilated(
+        stack, rhs, window_strides=(1,) * nd, padding=[(pad, pad)] * nd,
+        dimension_numbers=dn, feature_group_count=C)
+    c = I.shape[-1]
+    return (out[..., :c], out[..., c:2 * c], out[..., 2 * c:3 * c],
+            out[..., 3 * c:4 * c], out[..., 4 * c:])
+
+
+def ncc_map(prediction, target, kernel_var=None, kernel_type="mean",
+            eps: float = 1e-5):
+    """Pointwise windowed-NCC map cc = cross^2 / (I_var * J_var + eps)."""
+    nd = prediction.ndim - 2
+    if kernel_var is None:
+        kernel_var = [3] * nd if kernel_type == "gaussian" else [9] * nd
+    filt = _window_kernel(kernel_type, kernel_var, nd)
+    I_sum, J_sum, I2_sum, J2_sum, IJ_sum = _local_sums(prediction, target, filt)
+    win_size = float(filt.sum())
+    u_I = I_sum / win_size
+    u_J = J_sum / win_size
+    cross = IJ_sum - u_J * I_sum - u_I * J_sum + u_I * u_J * win_size
+    I_var = I2_sum - 2 * u_I * I_sum + u_I * u_I * win_size
+    J_var = J2_sum - 2 * u_J * J_sum + u_J * u_J * win_size
+    return cross * cross / (I_var * J_var + eps)
+
+
+def ncc_loss(prediction, target, mask=None, kernel_var=None,
+             kernel_type="mean", eps: float = 1e-5):
+    cc = ncc_map(prediction, target, kernel_var, kernel_type, eps)
+    if mask is None:
+        return -1.0 * jnp.sqrt(jnp.mean(cc))
+    mask = mask.astype(cc.dtype)
+    denom = jnp.sum(mask)
+    val = -1.0 * jnp.sqrt(jnp.sum(cc * mask) / jnp.maximum(denom, 1.0))
+    return jnp.where(denom == 0, jnp.zeros((), cc.dtype), val)
+
+
+def masked_l1(src, tgt, mask=None):
+    diff = jnp.abs(src - tgt)
+    if mask is None:
+        return jnp.mean(diff)
+    mask = mask.astype(diff.dtype)
+    denom = jnp.sum(mask)
+    val = jnp.sum(diff * mask) / jnp.maximum(denom, 1.0)
+    return jnp.where(denom == 0, jnp.zeros((), diff.dtype), val)
+
+
+def mse_loss(prediction, target):
+    return jnp.mean(jnp.square(prediction - target))
+
+
+def dice_loss(prediction, target, eps: float = 1e-5):
+    """Soft Dice over spatial dims; returns 1 - mean Dice."""
+    axes = tuple(range(1, prediction.ndim - 1))
+    inter = jnp.sum(prediction * target, axis=axes)
+    denom = jnp.sum(prediction, axis=axes) + jnp.sum(target, axis=axes)
+    dice = (2.0 * inter + eps) / (denom + eps)
+    return 1.0 - jnp.mean(dice)
+
+
+def nmi_loss(prediction, target, num_bins: int = 32, vmin: float = -1.0,
+             vmax: float = 1.0, sigma_ratio: float = 0.5):
+    """Negative global mutual information via Parzen windowing."""
+    centers = jnp.linspace(vmin, vmax, num_bins)
+    sigma = (centers[1] - centers[0]) * sigma_ratio
+    preterm = 1.0 / (2 * sigma ** 2)
+
+    def soft_bin(x):
+        x = x.reshape(x.shape[0], -1, 1)
+        w = jnp.exp(-preterm * jnp.square(x - centers.reshape(1, 1, -1)))
+        return w / (jnp.sum(w, axis=-1, keepdims=True) + 1e-10)
+
+    pa = soft_bin(prediction)  # (B, N, bins)
+    pb = soft_bin(target)
+    n = pa.shape[1]
+    pab = jnp.einsum("bni,bnj->bij", pa, pb) / n
+    pa_m = jnp.mean(pa, axis=1)
+    pb_m = jnp.mean(pb, axis=1)
+    papb = pa_m[:, :, None] * pb_m[:, None, :]
+    mi = jnp.sum(pab * jnp.log((pab + 1e-10) / (papb + 1e-10)), axis=(1, 2))
+    return -jnp.mean(mi)

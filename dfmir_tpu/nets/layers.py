@@ -1,0 +1,137 @@
+"""Shared NN building blocks (flax.linen), matching reference semantics.
+
+- ``instance_norm``: torch InstanceNorm2d/3d(affine=False,
+  track_running_stats=False), eps 1e-5 (reference networks.py:125).
+- ``pad_nd``: reflect/replicate/zero spatial padding.
+- ``ConvTransposeTorch``: torch ConvTranspose semantics (kernel flip +
+  output_padding) expressed as an lhs-dilated conv.
+- ``upsample_nearest``: torch nn.Upsample(scale_factor=2, mode='nearest').
+
+Layout NHWC / NDHWC.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from dfmir_tpu.nets.inits import get_initializer
+
+PAD_MODES = {"reflect": "reflect", "refl": "reflect",
+             "replicate": "edge", "repl": "edge", "zero": "constant"}
+
+
+def instance_norm(x, eps: float = 1e-5):
+    """Per-sample, per-channel spatial normalization (no affine params)."""
+    axes = tuple(range(1, x.ndim - 1))
+    mean = jnp.mean(x, axis=axes, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=axes, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
+def pad_nd(x, pad: int, mode: str = "reflect"):
+    """Pad all spatial dims of (B, *spatial, C) by ``pad`` on both sides."""
+    nd = x.ndim - 2
+    widths = [(0, 0)] + [(pad, pad)] * nd + [(0, 0)]
+    return jnp.pad(x, widths, mode=PAD_MODES[mode])
+
+
+def upsample_nearest(x, scale: int = 2):
+    """Nearest-neighbor upsample of every spatial dim (torch Upsample)."""
+    nd = x.ndim - 2
+    for axis in range(1, 1 + nd):
+        x = jnp.repeat(x, scale, axis=axis)
+    return x
+
+
+def norm_fn(norm: str):
+    if norm == "instance":
+        return instance_norm
+    if norm == "none":
+        return lambda x: x
+    if norm == "batch":
+        raise NotImplementedError(
+            "batch norm requires mutable state; use --normG instance|none"
+        )
+    raise NotImplementedError(f"normalization layer [{norm}] is not found")
+
+
+class ConvND(nn.Module):
+    """Conv over (B, *spatial, C) with torch-style integer padding.
+
+    kernel init per ``init_type`` (reference init_weights), bias zeros unless
+    ``torch_default`` (then torch's U(+-1/sqrt(fan_in)) bias).
+    """
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+    init_type: str = "xavier"
+    init_gain: float = 0.02
+
+    @nn.compact
+    def __call__(self, x):
+        nd = x.ndim - 2
+        kernel_init = get_initializer(self.init_type, self.init_gain)
+        if self.init_type == "torch_default":
+            from dfmir_tpu.nets.inits import torch_default_bias_init
+            fan_in = x.shape[-1] * self.kernel ** nd
+            bias_init = torch_default_bias_init(fan_in)
+        else:
+            bias_init = nn.initializers.zeros_init()
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel,) * nd,
+            strides=(self.stride,) * nd,
+            padding=[(self.padding, self.padding)] * nd,
+            use_bias=self.use_bias,
+            kernel_init=kernel_init,
+            bias_init=bias_init,
+        )(x)
+
+
+class ConvTransposeTorch(nn.Module):
+    """torch nn.ConvTranspose2d/3d semantics on NHWC/NDHWC.
+
+    output = (i - 1)*stride - 2*padding + kernel + output_padding.
+    Implemented as an lhs-dilated conv with spatially flipped kernel.
+    """
+
+    features: int
+    kernel: int = 3
+    stride: int = 2
+    padding: int = 1
+    output_padding: int = 1
+    use_bias: bool = True
+    init_type: str = "xavier"
+    init_gain: float = 0.02
+
+    @nn.compact
+    def __call__(self, x):
+        nd = x.ndim - 2
+        C = x.shape[-1]
+        kernel_init = get_initializer(self.init_type, self.init_gain)
+        w = self.param(
+            "kernel", kernel_init, (self.kernel,) * nd + (C, self.features)
+        )
+        # flip spatial axes: conv_transpose applies the kernel unflipped,
+        # which equals a regular (correlation) conv with flipped taps.
+        w = jnp.flip(w, axis=tuple(range(nd)))
+        lo = self.kernel - 1 - self.padding
+        hi = lo + self.output_padding
+        dn = {1: ("NHC", "HIO", "NHC"),
+              2: ("NHWC", "HWIO", "NHWC"),
+              3: ("NDHWC", "DHWIO", "NDHWC")}[nd]
+        out = jax.lax.conv_general_dilated(
+            x, w, window_strides=(1,) * nd, padding=[(lo, hi)] * nd,
+            lhs_dilation=(self.stride,) * nd, dimension_numbers=dn,
+        )
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+            out = out + b
+        return out
