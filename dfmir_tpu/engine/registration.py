@@ -1,0 +1,271 @@
+"""The registration training engine (the paper model, TPU-native).
+
+Replicates REGISTRATIONModel.optimize_parameters
+(/root/reference/models/registration_model.py:138-171) as ONE jitted train
+step: translate (netG) -> register (netR) -> warp -> PatchNCE + masked-L1 +
+local-NCE + smoothness -> a single backward through all three networks ->
+three simultaneous Adam updates (mathematically identical to the reference's
+three optimizers stepping on one shared backward, since Adam is elementwise
+and all three share hyperparameters).
+
+Design deltas from the reference (TPU-first):
+- netF's MLPs have static shapes, so there is no data_dependent_initialize
+  two-phase setup; params exist from ``init_state``.
+- the per-step PIL load of ./deform256.jpg (reference :148) becomes a
+  procedural constant grid image warped only in ``compute_visuals``.
+- all six NCE encoder passes are batched into one generator apply
+  (``fuse_nce_encodes``) — exact for per-sample ops (instance norm).
+- RNG is explicit: patch ids / flip coins come from a threaded jax PRNG key.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import flax.struct
+import optax
+
+from dfmir_tpu.engine.config import RegistrationConfig
+from dfmir_tpu.losses import (
+    gan_loss, masked_l1, patch_nce_loss, smoothness_loss,
+)
+from dfmir_tpu.nets import (
+    PatchSampleF, ResnetGenerator, VxmDense, nce_feature_dims,
+)
+from dfmir_tpu.ops import folding_fraction, jacobian_det, warp
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def grid_image(size: int, spacing: int = 16, thickness: int = 1) -> np.ndarray:
+    """Procedural grid image in [-1, 1] (replaces ./deform256.jpg)."""
+    img = np.ones((size, size), np.float32)
+    for start in range(0, size, spacing):
+        img[start:start + thickness, :] = -1.0
+        img[:, start:start + thickness] = -1.0
+    return img[None, :, :, None]
+
+
+class RegistrationModel:
+    """Builds the three networks and exposes jitted train/eval steps."""
+
+    def __init__(self, cfg: RegistrationConfig):
+        self.cfg = cfg
+        if cfg.netG.startswith("resnet"):
+            self.netG = ResnetGenerator(
+                input_nc=cfg.input_nc, output_nc=cfg.output_nc, ngf=cfg.ngf,
+                n_blocks=cfg.n_blocks, norm=cfg.normG,
+                use_dropout=not cfg.no_dropout,
+                no_antialias=cfg.no_antialias,
+                no_antialias_up=cfg.no_antialias_up,
+                init_type=cfg.init_type, init_gain=cfg.init_gain,
+            )
+        else:
+            raise NotImplementedError(f"netG {cfg.netG}")
+        dims = nce_feature_dims(
+            cfg.nce_layers, input_nc=cfg.input_nc, output_nc=cfg.output_nc,
+            ngf=cfg.ngf, n_blocks=cfg.n_blocks,
+            no_antialias=cfg.no_antialias, no_antialias_up=cfg.no_antialias_up,
+        )
+        self.netF = PatchSampleF(
+            feature_dims=tuple(dims), nc=cfg.netF_nc,
+            use_mlp=cfg.netF == "mlp_sample",
+            init_type=cfg.init_type, init_gain=cfg.init_gain,
+        )
+        self.netR = VxmDense(
+            ndims=cfg.ndims,
+            nb_features=(tuple(cfg.vxm_enc), tuple(cfg.vxm_dec)),
+            int_steps=cfg.int_steps, int_downsize=cfg.int_downsize, bidir=True,
+        )
+        self.tx = optax.scale_by_adam(b1=cfg.beta1, b2=cfg.beta2, eps=1e-8)
+        self._grid_const = jnp.asarray(grid_image(cfg.crop_size))
+
+    # ------------------------------------------------------------- setup
+
+    def _dummy_batch(self, batch_size: Optional[int] = None):
+        cfg = self.cfg
+        b = batch_size or cfg.batch_size
+        spatial = (cfg.crop_size,) * cfg.ndims
+        a = jnp.zeros((b,) + spatial + (cfg.input_nc,), jnp.float32)
+        return a, a
+
+    def init_state(self, rng, batch_size: Optional[int] = None) -> TrainState:
+        cfg = self.cfg
+        kG, kF, kR, kS = jax.random.split(rng, 4)
+        A, B = self._dummy_batch(batch_size)
+        pG = self.netG.init(kG, A)["params"]
+        feats = self.netG.apply(
+            {"params": pG}, A, layers=cfg.nce_layers, encode_only=True)
+        pF = self.netF.init(kF, feats, cfg.num_patches, None, rng=kS)["params"]
+        pR = self.netR.init(kR, A, B)["params"]
+        params = {"G": pG, "F": pF, "R": pR}
+        opt_state = self.tx.init(params)
+        return TrainState(params=params, opt_state=opt_state,
+                          step=jnp.zeros((), jnp.int32))
+
+    # ------------------------------------------------------------- losses
+
+    def _encode(self, pG, x):
+        return self.netG.apply({"params": pG}, x,
+                               layers=self.cfg.nce_layers, encode_only=True)
+
+    def _nce_from_feats(self, pF, feat_q, feat_k, rng, batch_size):
+        """calculate_NCE_loss core (registration_model.py:237-253) given
+        pre-computed feature taps."""
+        cfg = self.cfg
+        feat_k_pool, ids = self.netF.apply(
+            {"params": pF}, feat_k, cfg.num_patches, None, rng=rng)
+        feat_q_pool, _ = self.netF.apply(
+            {"params": pF}, feat_q, cfg.num_patches, patch_ids=ids)
+        total = 0.0
+        for f_q, f_k in zip(feat_q_pool, feat_k_pool):
+            per_patch = patch_nce_loss(
+                f_q, f_k, nce_T=cfg.nce_T, batch_size=batch_size,
+                all_negatives_from_minibatch=(
+                    cfg.nce_includes_all_negatives_from_minibatch),
+            )
+            total = total + jnp.mean(per_patch) * cfg.lambda_NCE
+        return total / len(cfg.nce_layers)
+
+    def _loss_fn(self, params, real_A, real_B, rng):
+        cfg = self.cfg
+        B = real_A.shape[0]
+        kF1, kF2, kF3 = jax.random.split(rng, 3)
+
+        # forward() (registration_model.py:185-196)
+        real = jnp.concatenate([real_A, real_B], axis=0)
+        fake = self.netG.apply({"params": params["G"]}, real)
+        fake_B = fake[:B]
+        idt_B = fake[B:]
+
+        # netR forward (bidir): returns integrated full-res pos_flow
+        y_source, y_target, pos_flow = self.netR.apply(
+            {"params": params["R"]}, real_A, real_B)
+        registered = warp(fake_B, pos_flow)
+
+        # --- NCE losses.  Encoder passes fused into one batched apply.
+        if cfg.fuse_nce_encodes:
+            pairs = [(fake_B, real_A)]  # (query, key) per NCE call
+            if cfg.nce_idt and cfg.lambda_NCE > 0:
+                pairs.append((idt_B, real_B))
+            pairs.append((y_source, real_B))  # loss_local
+            stacked = jnp.concatenate(
+                [x for q, k in pairs for x in (q, k)], axis=0)
+            feats = self._encode(params["G"], stacked)
+            # split each tapped activation back into per-pair q/k chunks
+            chunks = [
+                [f[i * B:(i + 1) * B] for f in feats]
+                for i in range(2 * len(pairs))
+            ]
+            nce_vals = []
+            keys = [kF1, kF2, kF3]
+            for p in range(len(pairs)):
+                nce_vals.append(self._nce_from_feats(
+                    params["F"], chunks[2 * p], chunks[2 * p + 1],
+                    keys[p], B))
+        else:
+            nce_vals = [self._nce_from_feats(
+                params["F"], self._encode(params["G"], fake_B),
+                self._encode(params["G"], real_A), kF1, B)]
+            if cfg.nce_idt and cfg.lambda_NCE > 0:
+                nce_vals.append(self._nce_from_feats(
+                    params["F"], self._encode(params["G"], idt_B),
+                    self._encode(params["G"], real_B), kF2, B))
+            nce_vals.append(self._nce_from_feats(
+                params["F"], self._encode(params["G"], y_source),
+                self._encode(params["G"], real_B), kF3, B))
+
+        loss_NCE = nce_vals[0]
+        if cfg.nce_idt and cfg.lambda_NCE > 0:
+            loss_NCE_Y = nce_vals[1]
+            loss_G = (loss_NCE + loss_NCE_Y) * 0.5
+        else:
+            loss_NCE_Y = jnp.zeros(())
+            loss_G = loss_NCE
+        loss_local_nce = nce_vals[-1]
+
+        # R losses (registration_model.py:160-165).  Masks are boolean ORs of
+        # foreground tests (torch bool + bool == logical or).
+        mask = (real_B > -0.95) | (registered > -0.95)
+        mask2 = (idt_B > -0.95) | (registered > -0.95)
+        loss_local = loss_local_nce * cfg.local_weight
+        loss_R = (
+            masked_l1(registered, real_B, mask)
+            + masked_l1(idt_B, registered, mask2)
+            + loss_local
+        )
+        loss_smooth = smoothness_loss(pos_flow) * cfg.smooth_weight
+
+        total = loss_R + loss_G + loss_smooth
+        metrics = {
+            "G": loss_G, "NCE": loss_NCE, "R": loss_R,
+            "smooth": loss_smooth, "local": loss_local, "total": total,
+        }
+        if cfg.nce_idt:
+            metrics["NCE_Y"] = loss_NCE_Y
+        aux = {"fake_B": fake_B, "idt_B": idt_B, "registered": registered,
+               "regA": y_source, "pos_flow": pos_flow}
+        return total, (metrics, aux)
+
+    # -------------------------------------------------------------- steps
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def train_step(self, state: TrainState, real_A, real_B, rng, lr):
+        """One optimization step; lr is a traced scalar (host schedules it)."""
+        grads, (metrics, _) = jax.grad(
+            self._loss_fn, has_aux=True)(state.params, real_A, real_B, rng)
+        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(params=new_params, opt_state=new_opt,
+                          step=state.step + 1), metrics
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def eval_step(self, params, real_A, real_B, rng):
+        """Losses + outputs without an update (reference model.test())."""
+        _, (metrics, aux) = self._loss_fn(params, real_A, real_B, rng)
+        return metrics, aux
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def register(self, params, real_A, real_B):
+        """Inference (test.py path): translation + registration=True.
+
+        Returns (fake_B, idt_B, y_source, pos_flow)."""
+        B = real_A.shape[0]
+        real = jnp.concatenate([real_A, real_B], axis=0)
+        fake = self.netG.apply({"params": params["G"]}, real)
+        y_source, pos_flow = self.netR.apply(
+            {"params": params["R"]}, real_A, real_B, registration=True)
+        return fake[:B], fake[B:], y_source, pos_flow
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def compute_visuals(self, params, real_A, real_B, rng):
+        """The reference visual set (registration_model.py:78): real_A,
+        fake_B, real_B, dvf, registered, regA (+ idt_B)."""
+        _, (metrics, aux) = self._loss_fn(params, real_A, real_B, rng)
+        grid = jnp.tile(self._grid_const, (real_A.shape[0], 1, 1, 1))
+        dvf = warp(grid, aux["pos_flow"])
+        visuals = {
+            "real_A": real_A, "fake_B": aux["fake_B"], "real_B": real_B,
+            "dvf": dvf, "registered": aux["registered"], "regA": aux["regA"],
+        }
+        if self.cfg.nce_idt:
+            visuals["idt_B"] = aux["idt_B"]
+        return visuals, metrics
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def registration_metrics(self, params, real_A, real_B):
+        """Offline metrics: Jacobian determinant map + folding fraction."""
+        _, _, _, pos_flow = self.register(params, real_A, real_B)
+        det = jacobian_det(pos_flow)
+        return {"jac_det": det, "folding_fraction": folding_fraction(pos_flow)}

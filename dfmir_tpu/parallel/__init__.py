@@ -1,0 +1,6 @@
+from dfmir_tpu.parallel.mesh import (
+    make_mesh, batch_sharding, replicated, shard_batch, replicate,
+)
+
+__all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch",
+           "replicate"]
