@@ -1,0 +1,117 @@
+"""Headline benchmark: registered 256x256 pairs/sec on one chip.
+
+Measures the full inference path of the flagship registration model —
+translation (ResnetGenerator) + registration (VxmDense, scaling-and-squaring
+integration) + dense warp — jit-compiled end-to-end, matching the reference
+workload (256x256 grayscale pair; /root/reference/test.py:77-81).
+
+Timing methodology: the axon TPU tunnel neither serializes the execution
+queue nor makes ``block_until_ready`` wait for real completion, bulk D2H is
+very slow, and identical (program, inputs) executions are served from a
+cache — so wall-timing individual dispatches is meaningless.  Instead we jit
+a program that runs ``n`` chained steps (each step's input depends on the
+previous step's output, via lax.fori_loop) and fetch a single scalar; the
+data dependence forces sequential execution on device and the scalar fetch
+forces completion.  Each trial perturbs the input (device-side) to defeat
+the result cache, and per-step time is the slope between a short and a long
+chain — (t_long - t_short) / (n_long - n_short) — which cancels the
+dispatch+fetch round-trip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline is relative to the PyTorch-CPU reference throughput recorded in
+BENCH_BASELINE.json (the reference publishes no numbers of its own).
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"])
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
+    from dfmir_tpu.engine import RegistrationConfig, RegistrationModel
+
+    cfg = RegistrationConfig(crop_size=args.size, batch_size=args.batch,
+                             compute_dtype=args.dtype)
+    model = RegistrationModel(cfg)
+    # register() only touches netG + netR params; skip the (expensive over
+    # the tunnel) netF init.
+    kG, kR = jax.random.split(jax.random.PRNGKey(0))
+    shape = (args.batch, args.size, args.size, 1)
+    zeros = jnp.zeros(shape, jnp.float32)
+    params = {
+        "G": model.netG.init(kG, zeros)["params"],
+        "R": model.netR.init(kR, zeros, zeros)["params"],
+    }
+
+    rng = np.random.default_rng(0)
+    A = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    B = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+
+    @functools.partial(jax.jit, static_argnums=4)
+    def chained(params, A, B, salt, n):
+        A = A * (1.0 + salt)  # device-side perturbation: defeats result cache
+        def body(_, carry):
+            A, acc = carry
+            fake_B, idt_B, y_source, pos_flow = model.register(params, A, B)
+            # feed a function of the output back in: forces serialization
+            A = A + 1e-6 * y_source
+            return A, acc + jnp.sum(pos_flow[0, 0, 0])
+        A, acc = lax.fori_loop(0, n, body, (A, jnp.float32(0.0)))
+        return acc
+
+    salt = 0
+
+    def run(n):
+        nonlocal salt
+        salt += 1
+        t0 = time.perf_counter()
+        v = float(chained(params, A, B, jnp.float32(salt * 1e-5), n))
+        t1 = time.perf_counter()
+        assert np.isfinite(v)
+        return t1 - t0
+
+    n_short, n_long = 2, max(args.iters, 4)
+    run(n_short)  # compile
+    run(n_long)   # compile
+    t_short = min(run(n_short) for _ in range(3))
+    t_long = min(run(n_long) for _ in range(3))
+    step = (t_long - t_short) / (n_long - n_short)
+    pairs_per_sec = args.batch / step
+
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_BASELINE.json")
+    baseline = None
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            baseline = json.load(f).get("baseline_value")
+
+    print(json.dumps({
+        "metric": "registered_256sq_pairs_per_sec",
+        "value": round(pairs_per_sec, 3),
+        "unit": "pairs/s",
+        "vs_baseline": (round(pairs_per_sec / baseline, 2)
+                        if baseline else None),
+    }))
+
+
+if __name__ == "__main__":
+    main()
