@@ -302,3 +302,93 @@ class RefPatchSampleF(nn.Module):
             out_feats.append(x)
             out_ids.append(pid)
         return out_feats, out_ids
+
+
+# ------------------------------------------------------------ unet netG
+
+class RefUnetSkipBlock(nn.Module):
+    def __init__(self, outer_nc, inner_nc, input_nc=None, submodule=None,
+                 outermost=False, innermost=False, use_dropout=False):
+        super().__init__()
+        self.outermost = outermost
+        if input_nc is None:
+            input_nc = outer_nc
+        downconv = nn.Conv2d(input_nc, inner_nc, 4, stride=2, padding=1,
+                             bias=True)
+        if outermost:
+            upconv = nn.ConvTranspose2d(inner_nc * 2, outer_nc, 4, 2, 1)
+            model = [downconv] + [submodule] + [
+                nn.ReLU(True), upconv, nn.Tanh()]
+        elif innermost:
+            upconv = nn.ConvTranspose2d(inner_nc, outer_nc, 4, 2, 1,
+                                        bias=True)
+            model = [nn.LeakyReLU(0.2, True), downconv,
+                     nn.ReLU(True), upconv, nn.InstanceNorm2d(outer_nc)]
+        else:
+            upconv = nn.ConvTranspose2d(inner_nc * 2, outer_nc, 4, 2, 1,
+                                        bias=True)
+            model = [nn.LeakyReLU(0.2, True), downconv,
+                     nn.InstanceNorm2d(inner_nc)] + [submodule] + [
+                nn.ReLU(True), upconv, nn.InstanceNorm2d(outer_nc)]
+            if use_dropout:
+                model += [nn.Dropout(0.5)]
+        self.model = nn.Sequential(*model)
+
+    def forward(self, x):
+        if self.outermost:
+            return self.model(x)
+        return torch.cat([x, self.model(x)], 1)
+
+
+class RefUnetGenerator(nn.Module):
+    def __init__(self, input_nc=1, output_nc=1, num_downs=8, ngf=64,
+                 use_dropout=False):
+        super().__init__()
+        block = RefUnetSkipBlock(ngf * 8, ngf * 8, innermost=True)
+        for _ in range(num_downs - 5):
+            block = RefUnetSkipBlock(ngf * 8, ngf * 8, submodule=block,
+                                     use_dropout=use_dropout)
+        block = RefUnetSkipBlock(ngf * 4, ngf * 8, submodule=block)
+        block = RefUnetSkipBlock(ngf * 2, ngf * 4, submodule=block)
+        block = RefUnetSkipBlock(ngf, ngf * 2, submodule=block)
+        self.model = RefUnetSkipBlock(output_nc, ngf, input_nc=input_nc,
+                                      submodule=block, outermost=True)
+
+    def forward(self, x):
+        return self.model(x)
+
+
+# -------------------------------------------------------- discriminators
+
+class RefNLayerDiscriminator(nn.Module):
+    def __init__(self, input_nc=1, ndf=64, n_layers=3, no_antialias=False):
+        super().__init__()
+        kw, padw = 4, 1
+        if no_antialias:
+            seq = [nn.Conv2d(input_nc, ndf, kw, 2, padw),
+                   nn.LeakyReLU(0.2, True)]
+        else:
+            seq = [nn.Conv2d(input_nc, ndf, kw, 1, padw),
+                   nn.LeakyReLU(0.2, True), BlurDown(ndf)]
+        mult = 1
+        for n in range(1, n_layers):
+            mult_prev, mult = mult, min(2 ** n, 8)
+            if no_antialias:
+                seq += [nn.Conv2d(ndf * mult_prev, ndf * mult, kw, 2, padw,
+                                  bias=True),
+                        nn.InstanceNorm2d(ndf * mult),
+                        nn.LeakyReLU(0.2, True)]
+            else:
+                seq += [nn.Conv2d(ndf * mult_prev, ndf * mult, kw, 1, padw,
+                                  bias=True),
+                        nn.InstanceNorm2d(ndf * mult),
+                        nn.LeakyReLU(0.2, True), BlurDown(ndf * mult)]
+        mult_prev, mult = mult, min(2 ** n_layers, 8)
+        seq += [nn.Conv2d(ndf * mult_prev, ndf * mult, kw, 1, padw,
+                          bias=True),
+                nn.InstanceNorm2d(ndf * mult), nn.LeakyReLU(0.2, True),
+                nn.Conv2d(ndf * mult, 1, kw, 1, padw)]
+        self.model = nn.Sequential(*seq)
+
+    def forward(self, x):
+        return self.model(x)

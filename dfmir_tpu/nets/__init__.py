@@ -3,9 +3,18 @@ from dfmir_tpu.nets.resnet_gen import (
 )
 from dfmir_tpu.nets.patch_sample import PatchSampleF, l2_normalize
 from dfmir_tpu.nets.vxm import VxmDense, VxmUnet, default_unet_features
+from dfmir_tpu.nets.unet_gen import UnetGenerator
+from dfmir_tpu.nets.discriminators import (
+    NLayerDiscriminator, PatchDiscriminator, PixelDiscriminator,
+)
+from dfmir_tpu.nets.feature_nets import PoolingF, ReshapeF, StridedConvF
+from dfmir_tpu.nets.factory import define_D, define_F, define_G
 
 __all__ = [
     "ResnetGenerator", "ResnetBlock", "resnet_generator_specs",
     "nce_feature_dims", "PatchSampleF", "l2_normalize", "VxmDense",
-    "VxmUnet", "default_unet_features",
+    "VxmUnet", "default_unet_features", "UnetGenerator",
+    "NLayerDiscriminator", "PatchDiscriminator", "PixelDiscriminator",
+    "PoolingF", "ReshapeF", "StridedConvF",
+    "define_D", "define_F", "define_G",
 ]
