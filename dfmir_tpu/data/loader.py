@@ -54,6 +54,10 @@ class DataLoader:
     """Iterable over dict batches {'A': (B,H,W,C) f32, 'B': ..., paths}."""
 
     def __init__(self, dataset, opt):
+        if len(dataset) == 0:
+            raise RuntimeError(
+                f"Found 0 samples under {opt.dataroot} for dataset_mode="
+                f"{opt.dataset_mode!r} (phase {opt.phase!r})")
         self.dataset = dataset
         self.opt = opt
         self.batch_size = opt.batch_size

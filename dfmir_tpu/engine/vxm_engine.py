@@ -1,0 +1,133 @@
+"""Volumetric (and 2-D) pure-registration training engine: classic
+VoxelMorph semantics — VxmDense + image-similarity (windowed NCC or MSE) +
+L2 gradient smoothness on the pre-integration SVF (the stationary velocity
+field emitted by the flow head, before scaling-and-squaring).
+
+This is the TPU-native home of the reference's dormant 3-D capability
+(/root/reference/models/voxelmorph/torchvoxelmorph/networks.py:1028 with
+ndims=3, losses.py NCC/Grad): one jitted train step, NDHWC volumes, and
+``jax.sharding`` over (data, spatial) for 160^3-scale inputs — the spatial
+axis shards the leading (depth) dimension and XLA inserts halo exchanges
+for the convolutions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.struct
+import optax
+
+from dfmir_tpu.losses import grad_loss, mse_loss, ncc_loss
+from dfmir_tpu.nets import VxmDense, default_unet_features
+
+
+@dataclasses.dataclass(frozen=True)
+class VxmConfig:
+    ndims: int = 3
+    vol_size: int = 160
+    enc: Tuple[int, ...] = (16, 32, 32, 32)
+    dec: Tuple[int, ...] = (32, 32, 32, 32, 32, 16, 16)
+    int_steps: int = 7
+    int_downsize: int = 2
+    bidir: bool = False
+    image_loss: str = "ncc"      # 'ncc' | 'mse'
+    ncc_win: int = 9
+    lambda_smooth: float = 0.01  # classic vxm weight for l2 grad on the SVF
+    lr: float = 1e-4
+    batch_size: int = 1
+    compute_dtype: str = "float32"
+
+    @classmethod
+    def from_opt(cls, opt) -> "VxmConfig":
+        fields = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {k: v for k, v in vars(opt).items() if k in fields}
+        for key in ("enc", "dec"):
+            if key in kwargs and isinstance(kwargs[key], str):
+                kwargs[key] = tuple(int(v) for v in kwargs[key].split(","))
+        return cls(**kwargs)
+
+
+@flax.struct.dataclass
+class VxmState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+class VxmEngine:
+    def __init__(self, cfg: VxmConfig):
+        self.cfg = cfg
+        if not cfg.enc:
+            enc, dec = default_unet_features()
+            cfg = dataclasses.replace(cfg, enc=tuple(enc), dec=tuple(dec))
+            self.cfg = cfg
+        self.netR = VxmDense(
+            ndims=cfg.ndims, nb_features=(tuple(cfg.enc), tuple(cfg.dec)),
+            int_steps=cfg.int_steps, int_downsize=cfg.int_downsize,
+            bidir=cfg.bidir)
+        self.tx = optax.scale_by_adam()
+
+    def _dummy(self, batch_size=None):
+        b = batch_size or self.cfg.batch_size
+        shape = (b,) + (self.cfg.vol_size,) * self.cfg.ndims + (1,)
+        return jnp.zeros(shape, jnp.float32)
+
+    def init_state(self, rng, batch_size=None) -> VxmState:
+        x = self._dummy(batch_size)
+        params = self.netR.init(rng, x, x)["params"]
+        return VxmState(params=params, opt_state=self.tx.init(params),
+                        step=jnp.zeros((), jnp.int32))
+
+    def _sim(self, pred, target):
+        if self.cfg.image_loss == "ncc":
+            return ncc_loss(pred, target,
+                            kernel_var=[self.cfg.ncc_win] * self.cfg.ndims)
+        if self.cfg.image_loss == "mse":
+            return mse_loss(pred, target)
+        raise NotImplementedError(self.cfg.image_loss)
+
+    def _loss_fn(self, params, source, target):
+        cfg = self.cfg
+        out = self.netR.apply({"params": params}, source, target,
+                              return_preint=True)
+        if cfg.bidir:
+            y_source, y_target, pos_flow, preint = out
+            sim = 0.5 * (self._sim(y_source, target)
+                         + self._sim(y_target, source))
+        else:
+            y_source, preint_ret, preint = out
+            pos_flow = None
+            sim = self._sim(y_source, target)
+        smooth = grad_loss(preint, penalty="l2") * cfg.lambda_smooth
+        total = sim + smooth
+        metrics = {"sim": sim, "smooth": smooth, "total": total}
+        return total, metrics
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def train_step(self, state: VxmState, source, target, lr=None):
+        """lr is a traced scalar (host schedules it); defaults to cfg.lr."""
+        lr = jnp.float32(self.cfg.lr if lr is None else lr)
+        grads, metrics = jax.grad(self._loss_fn, has_aux=True)(
+            state.params, source, target)
+        updates, new_opt = self.tx.update(grads, state.opt_state,
+                                          state.params)
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        new_params = optax.apply_updates(state.params, updates)
+        return VxmState(params=new_params, opt_state=new_opt,
+                        step=state.step + 1), metrics
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def register(self, params, source, target):
+        """(y_source, pos_flow) — inference path."""
+        return self.netR.apply({"params": params}, source, target,
+                               registration=True)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def eval_step(self, params, source, target):
+        _, metrics = self._loss_fn(params, source, target)
+        return metrics

@@ -76,7 +76,8 @@ class VxmDense(nn.Module):
     bidir: bool = True
 
     @nn.compact
-    def __call__(self, source, target, registration: bool = False):
+    def __call__(self, source, target, registration: bool = False,
+                 return_preint: bool = False):
         enc_nf, dec_nf = self.nb_features
         x = jnp.concatenate([source, target], axis=-1)
         x = VxmUnet(tuple(enc_nf), tuple(dec_nf), name="unet")(x)
@@ -109,6 +110,10 @@ class VxmDense(nn.Module):
         y_target = warp(target, neg_flow) if self.bidir else None
 
         if not registration:
-            return ((y_source, y_target, pos_flow) if self.bidir
-                    else (y_source, preint_flow))
-        return y_source, pos_flow
+            out = ((y_source, y_target, pos_flow) if self.bidir
+                   else (y_source, preint_flow))
+        else:
+            out = (y_source, pos_flow)
+        if return_preint:
+            out = out + (preint_flow,)
+        return out

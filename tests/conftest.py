@@ -31,3 +31,16 @@ assert len(jax.devices()) == 8
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+# Persistent compilation cache: XLA-CPU takes minutes to compile the 3-D
+# registration graphs; cache them across test processes/runs.
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+try:
+    jax.config.update("jax_persistent_cache_enable_xla_caches",
+                      "xla_gpu_per_fusion_autotune_cache_dir")
+except Exception:
+    pass

@@ -1,0 +1,151 @@
+"""3-D volumetric registration: engine convergence, dataset, sharding."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dfmir_tpu.engine.vxm_engine import VxmConfig, VxmEngine
+from dfmir_tpu.data.volume import (
+    VolumeDataset, crop_or_pad, load_volume, normalize_minmax,
+)
+
+
+def _sphere(size, center, radius):
+    g = np.stack(np.meshgrid(*[np.arange(size)] * 3, indexing="ij"))
+    d = np.sqrt(((g - np.asarray(center)[:, None, None, None]) ** 2).sum(0))
+    return np.clip(radius - d, 0, 3).astype(np.float32) / 3.0
+
+
+SMALL = VxmConfig(ndims=3, vol_size=24, enc=(8, 16), dec=(16, 16, 8),
+                  int_steps=4, lambda_smooth=0.01, image_loss="mse", lr=1e-3)
+
+
+class TestVxmEngine3D:
+    def test_shapes_and_registration_path(self):
+        eng = VxmEngine(SMALL)
+        state = eng.init_state(jax.random.PRNGKey(0))
+        x = jnp.asarray(_sphere(24, (12, 12, 12), 6)[None, ..., None])
+        y = jnp.asarray(_sphere(24, (14, 10, 12), 6)[None, ..., None])
+        y_src, flow = eng.register(state.params, x, y)
+        assert y_src.shape == (1, 24, 24, 24, 1)
+        assert flow.shape == (1, 24, 24, 24, 3)
+
+    def test_training_reduces_loss(self):
+        eng = VxmEngine(SMALL)
+        state = eng.init_state(jax.random.PRNGKey(0))
+        x = jnp.asarray(_sphere(24, (12, 12, 12), 6)[None, ..., None])
+        y = jnp.asarray(_sphere(24, (14, 10, 12), 6)[None, ..., None])
+        first = None
+        for _ in range(20):
+            state, metrics = eng.train_step(state, x, y)
+            if first is None:
+                first = float(metrics["total"])
+        last = float(metrics["total"])
+        assert np.isfinite(last)
+        assert last < first * 0.5, (first, last)
+
+    def test_bidir_and_ncc(self):
+        cfg = VxmConfig(ndims=3, vol_size=24, enc=(8, 16), dec=(16, 8, 8),
+                        bidir=True, image_loss="ncc", ncc_win=5)
+        eng = VxmEngine(cfg)
+        state = eng.init_state(jax.random.PRNGKey(0))
+        x = jnp.asarray(_sphere(24, (12, 12, 12), 6)[None, ..., None])
+        y = jnp.asarray(_sphere(24, (10, 13, 12), 6)[None, ..., None])
+        state, metrics = eng.train_step(state, x, y)
+        assert np.isfinite(float(metrics["total"]))
+        # NCC of identical non-flat images approaches -1 (negated
+        # similarity); flat (zero-variance) windows contribute ~0.
+        r = jnp.asarray(np.random.default_rng(0).random(
+            (1, 24, 24, 24, 1)), jnp.float32)
+        m = eng.eval_step(state.params, r, r)
+        assert float(m["sim"]) < -0.9
+
+    def test_return_preint_contract(self):
+        eng = VxmEngine(SMALL)
+        state = eng.init_state(jax.random.PRNGKey(0))
+        x = jnp.asarray(_sphere(24, (12, 12, 12), 6)[None, ..., None])
+        out = eng.netR.apply({"params": state.params}, x, x,
+                             return_preint=True)
+        y_src, preint_ret, preint = out
+        assert preint.shape == (1, 12, 12, 12, 3)  # half-res SVF
+
+    def test_sharded_matches_single(self):
+        from dfmir_tpu.parallel import make_mesh, replicate, shard_batch
+
+        eng = VxmEngine(VxmConfig(ndims=3, vol_size=16, enc=(4, 8),
+                                  dec=(8, 4, 4), int_steps=3,
+                                  image_loss="mse", batch_size=8))
+        state = eng.init_state(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(0)
+        A = jnp.asarray(rng.random((8, 16, 16, 16, 1)), jnp.float32)
+        B = jnp.asarray(rng.random((8, 16, 16, 16, 1)), jnp.float32)
+        _, m_single = eng.train_step(state, A, B)
+
+        mesh = make_mesh()
+        As, Bs = shard_batch(mesh, (A, B), ndims=3)
+        st = replicate(mesh, state)
+        _, m_shard = eng.train_step(st, As, Bs)
+        np.testing.assert_allclose(float(m_single["total"]),
+                                   float(m_shard["total"]), rtol=1e-5)
+
+    def test_spatially_sharded_register(self):
+        from dfmir_tpu.parallel import make_mesh, replicate, shard_batch
+
+        eng = VxmEngine(VxmConfig(ndims=3, vol_size=16, enc=(4, 8),
+                                  dec=(8, 4, 4), int_steps=3,
+                                  image_loss="mse", batch_size=2))
+        state = eng.init_state(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(1)
+        A = jnp.asarray(rng.random((2, 16, 16, 16, 1)), jnp.float32)
+        B = jnp.asarray(rng.random((2, 16, 16, 16, 1)), jnp.float32)
+        want = np.asarray(eng.register(state.params, A, B)[0])
+
+        mesh = make_mesh(n_data=2, n_spatial=4)
+        As, Bs = shard_batch(mesh, (A, B), ndims=3, shard_spatial=True)
+        ps = replicate(mesh, state.params)
+        got = np.asarray(eng.register(ps, As, Bs)[0])
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestVolumeDataset:
+    def _mk(self, tmp_path, n=2, size=24):
+        rng = np.random.default_rng(0)
+        for side in ("A", "B"):
+            d = tmp_path / f"train{side}"
+            d.mkdir(parents=True, exist_ok=True)
+            for i in range(n):
+                np.save(d / f"vol_{i}.npy",
+                        rng.random((size, size + 4, size - 4)).astype(
+                            np.float32) * 500)
+
+    def test_load_crop_normalize(self, tmp_path):
+        import argparse
+
+        self._mk(tmp_path)
+        opt = argparse.Namespace(dataroot=str(tmp_path), phase="train",
+                                 isTrain=True, max_dataset_size=float("inf"),
+                                 vol_size=16)
+        ds = VolumeDataset(opt)
+        assert len(ds) == 2
+        s = ds[0]
+        assert s["A"].shape == (16, 16, 16, 1)
+        assert 0.0 <= s["A"].min() and s["A"].max() <= 1.0
+
+    def test_crop_or_pad(self):
+        v = np.ones((10, 20, 5), np.float32)
+        out = crop_or_pad(v, (16, 16, 16))
+        assert out.shape == (16, 16, 16)
+        assert out[:3].sum() == 0  # zero padding
+        assert out[3:13, :, 5:10].min() == 1.0
+
+    def test_npz_and_errors(self, tmp_path):
+        np.savez(tmp_path / "v.npz", vol=np.zeros((4, 4, 4), np.float32))
+        assert load_volume(str(tmp_path / "v.npz")).shape == (4, 4, 4)
+        np.save(tmp_path / "bad.npy", np.zeros((4, 4), np.float32))
+        with pytest.raises(ValueError):
+            load_volume(str(tmp_path / "bad.npy"))
+        assert normalize_minmax(np.zeros((2, 2, 2))).max() == 0.0
