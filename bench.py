@@ -33,8 +33,77 @@ import os
 import time
 
 
+def _measure_chained(step_fn, init_carry, iters):
+    """Time `iters` data-chained steps inside one jitted fori_loop; returns
+    seconds/step via the slope between a short and a long chain."""
+    import functools
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
+    @functools.partial(jax.jit, static_argnums=2)
+    def chained(carry, salt, n):
+        carry = jax.tree.map(
+            lambda x: x * (1.0 + salt) if x.dtype == jnp.float32 else x,
+            carry)
+
+        def body(_, c):
+            return step_fn(c)
+
+        out = lax.fori_loop(0, n, body, carry)
+        leaves = [l for l in jax.tree.leaves(out)
+                  if jnp.issubdtype(l.dtype, jnp.floating)]
+        return sum(jnp.sum(jnp.ravel(l)[:1]) for l in leaves)
+
+    salt = [0]
+
+    def run(n):
+        salt[0] += 1
+        t0 = time.perf_counter()
+        v = float(chained(init_carry, jnp.float32(salt[0] * 1e-5), n))
+        t1 = time.perf_counter()
+        assert np.isfinite(v), v
+        return t1 - t0
+
+    n_short, n_long = 2, 12
+    run(n_short)
+    run(n_long)
+    t_short = min(run(n_short) for _ in range(3))
+    t_long = min(run(n_long) for _ in range(3))
+    return (t_long - t_short) / (n_long - n_short)
+
+
+def _bench_warp3d(args):
+    """3-D trilinear warp kernel latency on a 160^3 volume (BASELINE.md
+    metric: '3D warp kernel ms')."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dfmir_tpu.ops import warp
+
+    rng = np.random.default_rng(0)
+    S = args.size if args.size != 256 else 160
+    src = jnp.asarray(rng.standard_normal((1, S, S, S, 1)), jnp.float32)
+    flow = jnp.asarray(rng.standard_normal((1, S, S, S, 3)) * 2.0,
+                       jnp.float32)
+
+    def step(carry):
+        s, f = carry
+        out = warp(s, f, mode="bilinear")
+        return out, f  # feed warped output back in: chains the gathers
+
+    sec = _measure_chained(step, (src, flow), args.iters)
+    return {"metric": f"warp3d_{S}cube_trilinear_ms",
+            "value": round(sec * 1e3, 3), "unit": "ms", "vs_baseline": None}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="register",
+                    choices=["register", "train", "warp3d"])
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--iters", type=int, default=20)
@@ -48,6 +117,36 @@ def main() -> None:
     from jax import lax
 
     from dfmir_tpu.engine import RegistrationConfig, RegistrationModel
+
+    if args.mode == "warp3d":
+        print(json.dumps(_bench_warp3d(args)))
+        return
+
+    if args.mode == "train":
+        cfg = RegistrationConfig(crop_size=args.size, batch_size=args.batch,
+                                 compute_dtype=args.dtype)
+        model = RegistrationModel(cfg)
+        state = model.init_state(jax.random.PRNGKey(0),
+                                 batch_size=args.batch)
+        rng = np.random.default_rng(0)
+        shape = (args.batch, args.size, args.size, 1)
+        A = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        B = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        key = jax.random.PRNGKey(1)
+
+        def step(carry):
+            st, a = carry
+            new_st, _ = model.train_step(st, a, B, key, jnp.float32(2e-4))
+            return new_st, a
+
+        sec = _measure_chained(step, (state, A), args.iters)
+        print(json.dumps({
+            "metric": f"train_step_{args.size}sq_pairs_per_sec"
+                      + ("_bf16" if args.dtype == "bfloat16" else ""),
+            "value": round(args.batch / sec, 3),
+            "unit": "pairs/s", "vs_baseline": None,
+        }))
+        return
 
     cfg = RegistrationConfig(crop_size=args.size, batch_size=args.batch,
                              compute_dtype=args.dtype)

@@ -34,6 +34,12 @@ class RegistrationConfig:
     nce_includes_all_negatives_from_minibatch: bool = False
     flip_equivariance: bool = False
     gan_mode: str = "lsgan"
+    # discriminator (only built when lambda_GAN > 0; the reference declares
+    # the flag but never constructs netD — options/base_options.py:36-39)
+    netD: str = "basic"
+    ndf: int = 64
+    n_layers_D: int = 3
+    normD: str = "instance"
     # registration net (registration_model.py:93-98)
     vxm_enc: Tuple[int, ...] = (16, 32, 32, 64, 64, 64)
     vxm_dec: Tuple[int, ...] = (64, 64, 64, 32, 32, 32, 16)

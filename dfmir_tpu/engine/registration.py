@@ -86,8 +86,19 @@ class RegistrationModel:
             ndims=cfg.ndims,
             nb_features=(tuple(cfg.vxm_enc), tuple(cfg.vxm_dec)),
             int_steps=cfg.int_steps, int_downsize=cfg.int_downsize, bidir=True,
+            compute_dtype=cfg.compute_dtype,
         )
+        self.netD = None
+        if cfg.lambda_GAN > 0:
+            from dfmir_tpu.nets import define_D
+
+            self.netD = define_D(
+                input_nc=cfg.output_nc, ndf=cfg.ndf, netD=cfg.netD,
+                n_layers_D=cfg.n_layers_D, norm=cfg.normD,
+                init_type=cfg.init_type, init_gain=cfg.init_gain,
+                no_antialias=cfg.no_antialias)
         self.tx = optax.scale_by_adam(b1=cfg.beta1, b2=cfg.beta2, eps=1e-8)
+        self.tx_d = optax.scale_by_adam(b1=cfg.beta1, b2=cfg.beta2, eps=1e-8)
         self._grid_const = jnp.asarray(grid_image(cfg.crop_size))
 
     # ------------------------------------------------------------- setup
@@ -109,15 +120,40 @@ class RegistrationModel:
         pF = self.netF.init(kF, feats, cfg.num_patches, None, rng=kS)["params"]
         pR = self.netR.init(kR, A, B)["params"]
         params = {"G": pG, "F": pF, "R": pR}
-        opt_state = self.tx.init(params)
+        if self.netD is None:
+            opt_state = self.tx.init(params)
+        else:
+            pD = self.netD.init(jax.random.fold_in(kG, 7), A)["params"]
+            opt_state = (self.tx.init(params), self.tx_d.init(pD))
+            params = dict(params, D=pD)
         return TrainState(params=params, opt_state=opt_state,
                           step=jnp.zeros((), jnp.int32))
 
     # ------------------------------------------------------------- losses
 
+    # bf16 compute: params + activations feed the MXU in bfloat16 (2x rate,
+    # half the HBM traffic); losses, masks, and all flow-field math stay in
+    # f32 (see VxmDense.compute_dtype).  Master params remain f32.
+    def _ct(self):
+        return jnp.dtype(self.cfg.compute_dtype)
+
+    def _cast_params(self, p):
+        if self.cfg.compute_dtype == "float32":
+            return p
+        dt = self._ct()
+        return jax.tree.map(
+            lambda x: x.astype(dt) if x.dtype == jnp.float32 else x, p)
+
+    def _apply_G(self, pG, x):
+        out = self.netG.apply({"params": self._cast_params(pG)},
+                              x.astype(self._ct()))
+        return out.astype(jnp.float32)
+
     def _encode(self, pG, x):
-        return self.netG.apply({"params": pG}, x,
-                               layers=self.cfg.nce_layers, encode_only=True)
+        feats = self.netG.apply(
+            {"params": self._cast_params(pG)}, x.astype(self._ct()),
+            layers=self.cfg.nce_layers, encode_only=True)
+        return [f.astype(jnp.float32) for f in feats]
 
     def _nce_from_feats(self, pF, feat_q, feat_k, rng, batch_size):
         """calculate_NCE_loss core (registration_model.py:237-253) given
@@ -137,20 +173,20 @@ class RegistrationModel:
             total = total + jnp.mean(per_patch) * cfg.lambda_NCE
         return total / len(cfg.nce_layers)
 
-    def _loss_fn(self, params, real_A, real_B, rng):
+    def _loss_fn(self, params, real_A, real_B, rng, d_params=None):
         cfg = self.cfg
         B = real_A.shape[0]
         kF1, kF2, kF3 = jax.random.split(rng, 3)
 
         # forward() (registration_model.py:185-196)
         real = jnp.concatenate([real_A, real_B], axis=0)
-        fake = self.netG.apply({"params": params["G"]}, real)
+        fake = self._apply_G(params["G"], real)
         fake_B = fake[:B]
         idt_B = fake[B:]
 
         # netR forward (bidir): returns integrated full-res pos_flow
         y_source, y_target, pos_flow = self.netR.apply(
-            {"params": params["R"]}, real_A, real_B)
+            {"params": self._cast_params(params["R"])}, real_A, real_B)
         registered = warp(fake_B, pos_flow)
 
         # --- NCE losses.  Encoder passes fused into one batched apply.
@@ -194,6 +230,15 @@ class RegistrationModel:
             loss_G = loss_NCE
         loss_local_nce = nce_vals[-1]
 
+        # GAN term for G (reference compute_G_loss :217-219).  d_params are
+        # not differentiated here — D gets its own loss in train_step.
+        loss_G_GAN = jnp.zeros(())
+        if cfg.lambda_GAN > 0 and d_params is not None:
+            pred_fake = self.netD.apply({"params": d_params}, fake_B)
+            loss_G_GAN = gan_loss(pred_fake, True,
+                                  cfg.gan_mode) * cfg.lambda_GAN
+        loss_G = loss_G + loss_G_GAN
+
         # R losses (registration_model.py:160-165).  Masks are boolean ORs of
         # foreground tests (torch bool + bool == logical or).
         mask = (real_B > -0.95) | (registered > -0.95)
@@ -213,6 +258,8 @@ class RegistrationModel:
         }
         if cfg.nce_idt:
             metrics["NCE_Y"] = loss_NCE_Y
+        if cfg.lambda_GAN > 0:
+            metrics["G_GAN"] = loss_G_GAN
         aux = {"fake_B": fake_B, "idt_B": idt_B, "registered": registered,
                "regA": y_source, "pos_flow": pos_flow}
         return total, (metrics, aux)
@@ -221,13 +268,57 @@ class RegistrationModel:
 
     @functools.partial(jax.jit, static_argnums=0)
     def train_step(self, state: TrainState, real_A, real_B, rng, lr):
-        """One optimization step; lr is a traced scalar (host schedules it)."""
-        grads, (metrics, _) = jax.grad(
-            self._loss_fn, has_aux=True)(state.params, real_A, real_B, rng)
-        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
-        updates = jax.tree.map(lambda u: -lr * u, updates)
-        new_params = optax.apply_updates(state.params, updates)
-        return TrainState(params=new_params, opt_state=new_opt,
+        """One optimization step; lr is a traced scalar (host schedules it).
+
+        With lambda_GAN > 0 this is the reference's two-phase step
+        (registration_model.py:138-171 with the D branch): update D on
+        detached fakes first, then update G/F/R against the updated D."""
+        if self.netD is None:
+            grads, (metrics, _) = jax.grad(
+                self._loss_fn, has_aux=True)(
+                    state.params, real_A, real_B, rng)
+            updates, new_opt = self.tx.update(
+                grads, state.opt_state, state.params)
+            updates = jax.tree.map(lambda u: -lr * u, updates)
+            new_params = optax.apply_updates(state.params, updates)
+            return TrainState(params=new_params, opt_state=new_opt,
+                              step=state.step + 1), metrics
+
+        cfg = self.cfg
+        B = real_A.shape[0]
+        gfr = {k: state.params[k] for k in ("G", "F", "R")}
+        pD = state.params["D"]
+        opt_gfr, opt_d = state.opt_state
+
+        # --- phase 1: D on detached fakes (compute_D_loss, :198-211)
+        real = jnp.concatenate([real_A, real_B], axis=0)
+        fake_B = jax.lax.stop_gradient(
+            self._apply_G(state.params["G"], real)[:B])
+
+        def d_loss(pd):
+            pred_fake = self.netD.apply({"params": pd}, fake_B)
+            pred_real = self.netD.apply({"params": pd}, real_B)
+            l_fake = gan_loss(pred_fake, False, cfg.gan_mode)
+            l_real = gan_loss(pred_real, True, cfg.gan_mode)
+            return (l_fake + l_real) * 0.5, (l_fake, l_real)
+
+        (loss_D, (l_df, l_dr)), gD = jax.value_and_grad(
+            d_loss, has_aux=True)(pD)
+        updD, opt_d = self.tx_d.update(gD, opt_d, pD)
+        pD = optax.apply_updates(pD, jax.tree.map(lambda u: -lr * u, updD))
+
+        # --- phase 2: G/F/R against the updated D
+        grads, (metrics, _) = jax.grad(self._loss_fn, has_aux=True)(
+            gfr, real_A, real_B, rng, d_params=pD)
+        upd, opt_gfr = self.tx.update(grads, opt_gfr, gfr)
+        gfr = optax.apply_updates(
+            gfr, jax.tree.map(lambda u: -lr * u, upd))
+
+        metrics = dict(metrics)
+        metrics.update({"D": loss_D, "D_fake": l_df, "D_real": l_dr})
+        new_params = dict(gfr)
+        new_params["D"] = pD
+        return TrainState(params=new_params, opt_state=(opt_gfr, opt_d),
                           step=state.step + 1), metrics
 
     @functools.partial(jax.jit, static_argnums=0)
@@ -243,9 +334,10 @@ class RegistrationModel:
         Returns (fake_B, idt_B, y_source, pos_flow)."""
         B = real_A.shape[0]
         real = jnp.concatenate([real_A, real_B], axis=0)
-        fake = self.netG.apply({"params": params["G"]}, real)
+        fake = self._apply_G(params["G"], real)
         y_source, pos_flow = self.netR.apply(
-            {"params": params["R"]}, real_A, real_B, registration=True)
+            {"params": self._cast_params(params["R"])}, real_A, real_B,
+            registration=True)
         return fake[:B], fake[B:], y_source, pos_flow
 
     @functools.partial(jax.jit, static_argnums=0)

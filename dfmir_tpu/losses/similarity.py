@@ -58,12 +58,59 @@ def _local_sums(I, J, filt_np):
             out[..., 3 * c:4 * c], out[..., 4 * c:])
 
 
+def _local_sums_integral(I, J, win):
+    """Windowed (zero-padded 'same') box sums via summed-area tables: one
+    cumsum per axis + shifted differences — O(1) work per voxel instead of
+    O(prod(win)), the decisive formulation for 3-D windows (9^3 = 729 taps).
+
+    Accuracy note: the differencing subtracts large running sums in f32;
+    relative error stays ~1e-6 for O(1)-valued images at 160^3.
+    """
+    nd = I.ndim - 2
+    stack = jnp.concatenate([I, J, I * I, J * J, I * J], axis=-1)
+    stack = stack.astype(jnp.float32)
+    for axis, k in zip(range(1, 1 + nd), win):
+        pad_lo = k // 2 + 1          # one extra leading zero for S[i-1]
+        pad_hi = k - 1 - k // 2
+        widths = [(0, 0)] * stack.ndim
+        widths[axis] = (pad_lo, pad_hi)
+        s = jnp.cumsum(jnp.pad(stack, widths), axis=axis)
+        n = I.shape[axis]
+        hi = jax.lax.slice_in_dim(s, k, k + n, axis=axis)
+        lo = jax.lax.slice_in_dim(s, 0, n, axis=axis)
+        stack = hi - lo
+    c = I.shape[-1]
+    return (stack[..., :c], stack[..., c:2 * c], stack[..., 2 * c:3 * c],
+            stack[..., 3 * c:4 * c], stack[..., 4 * c:])
+
+
 def ncc_map(prediction, target, kernel_var=None, kernel_type="mean",
-            eps: float = 1e-5):
-    """Pointwise windowed-NCC map cc = cross^2 / (I_var * J_var + eps)."""
+            eps: float = 1e-5, method: str = "auto"):
+    """Pointwise windowed-NCC map cc = cross^2 / (I_var * J_var + eps).
+
+    method: 'conv' (depthwise window conv), 'integral' (summed-area tables,
+    mean kernel only), or 'auto' (integral whenever the kernel is mean)."""
     nd = prediction.ndim - 2
     if kernel_var is None:
         kernel_var = [3] * nd if kernel_type == "gaussian" else [9] * nd
+    if method == "auto":
+        # even windows keep the conv path: torch's pad=k//2 'same' conv
+        # yields n+1 outputs there and we preserve that reference behavior
+        method = ("integral" if kernel_type == "mean"
+                  and all(k % 2 == 1 for k in kernel_var) else "conv")
+    if method == "integral":
+        if kernel_type != "mean":
+            raise ValueError("integral method requires a mean kernel")
+        sums = _local_sums_integral(prediction, target, kernel_var)
+        I_sum, J_sum, I2_sum, J2_sum, IJ_sum = sums
+        win_size = float(np.prod(kernel_var))
+        u_I = I_sum / win_size
+        u_J = J_sum / win_size
+        cross = (IJ_sum - u_J * I_sum - u_I * J_sum
+                 + u_I * u_J * win_size)
+        I_var = I2_sum - 2 * u_I * I_sum + u_I * u_I * win_size
+        J_var = J2_sum - 2 * u_J * J_sum + u_J * u_J * win_size
+        return cross * cross / (I_var * J_var + eps)
     filt = _window_kernel(kernel_type, kernel_var, nd)
     I_sum, J_sum, I2_sum, J2_sum, IJ_sum = _local_sums(prediction, target, filt)
     win_size = float(filt.sum())
@@ -76,8 +123,8 @@ def ncc_map(prediction, target, kernel_var=None, kernel_type="mean",
 
 
 def ncc_loss(prediction, target, mask=None, kernel_var=None,
-             kernel_type="mean", eps: float = 1e-5):
-    cc = ncc_map(prediction, target, kernel_var, kernel_type, eps)
+             kernel_type="mean", eps: float = 1e-5, method: str = "auto"):
+    cc = ncc_map(prediction, target, kernel_var, kernel_type, eps, method)
     if mask is None:
         return -1.0 * jnp.sqrt(jnp.mean(cc))
     mask = mask.astype(cc.dtype)

@@ -76,6 +76,9 @@ class RegistrationTask:
             self.loss_names += ["NCE_Y"]
             self.visual_names += ["idt_B"]
         self.model_names = ["G", "F", "R"] if self.isTrain else ["G", "R"]
+        if self.cfg.lambda_GAN > 0 and self.isTrain:
+            self.loss_names += ["G_GAN", "D"]
+            self.model_names += ["D"]
 
         self.rng = jax.random.PRNGKey(int(getattr(opt, "seed", 0) or 0))
         self.state: TrainState = None
@@ -228,7 +231,8 @@ class RegistrationTask:
             load_dir, epoch,
             {"opt_state": self.state.opt_state, "step": self.state.step})
         step = self.state.step
-        if optim is not None and set(self.model_names) == {"G", "F", "R"}:
+        if optim is not None and set(self.model_names) >= \
+                set(self.state.params.keys()):
             opt_state, step = optim["opt_state"], optim["step"]
         self.state = TrainState(params=params, opt_state=opt_state,
                                 step=step)

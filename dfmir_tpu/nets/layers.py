@@ -25,11 +25,16 @@ PAD_MODES = {"reflect": "reflect", "refl": "reflect",
 
 
 def instance_norm(x, eps: float = 1e-5):
-    """Per-sample, per-channel spatial normalization (no affine params)."""
+    """Per-sample, per-channel spatial normalization (no affine params).
+
+    Statistics are always accumulated in float32 (bf16 mean/var over 256^2
+    positions is too coarse); the result is cast back to the input dtype.
+    """
     axes = tuple(range(1, x.ndim - 1))
-    mean = jnp.mean(x, axis=axes, keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=axes, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=axes, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=axes, keepdims=True)
+    return ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
 def pad_nd(x, pad: int, mode: str = "reflect"):

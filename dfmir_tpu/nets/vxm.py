@@ -74,12 +74,18 @@ class VxmDense(nn.Module):
     int_steps: int = 7
     int_downsize: int = 2
     bidir: bool = True
+    compute_dtype: str = "float32"  # UNet conv dtype; flow math stays f32
 
     @nn.compact
     def __call__(self, source, target, registration: bool = False,
                  return_preint: bool = False):
         enc_nf, dec_nf = self.nb_features
         x = jnp.concatenate([source, target], axis=-1)
+        # The convs are the FLOPs; bf16 feeds the MXU at double rate.  All
+        # flow-field math (resize / integrate / warp coordinates) stays in
+        # f32: pixel coordinates up to S-1 need more mantissa than bf16's 8
+        # bits (a 0.5-px coordinate error at 256 would swamp the warp).
+        x = x.astype(jnp.dtype(self.compute_dtype))
         x = VxmUnet(tuple(enc_nf), tuple(dec_nf), name="unet")(x)
 
         flow_field = nn.Conv(
@@ -87,7 +93,7 @@ class VxmDense(nn.Module):
             kernel_init=normal_init(1e-5),
             bias_init=nn.initializers.zeros_init(),
             name="flow",
-        )(x)
+        )(x).astype(jnp.float32)
 
         do_resize = self.int_steps > 0 and self.int_downsize > 1
         pos_flow = flow_field
