@@ -155,10 +155,17 @@ class RegistrationModel:
             layers=self.cfg.nce_layers, encode_only=True)
         return [f.astype(jnp.float32) for f in feats]
 
-    def _nce_from_feats(self, pF, feat_q, feat_k, rng, batch_size):
+    def _nce_from_feats(self, pF, feat_q, feat_k, rng, batch_size,
+                        flip_q=None):
         """calculate_NCE_loss core (registration_model.py:237-253) given
-        pre-computed feature taps."""
+        pre-computed feature taps.  flip_q: traced bool — FastCUT flip
+        equivariance flips the query features back along W
+        (registration_model.py:241-242; applied to every NCE call when the
+        step's coin landed on flip, exactly as the reference does)."""
         cfg = self.cfg
+        if flip_q is not None:
+            feat_q = [jnp.where(flip_q, jnp.flip(f, axis=2), f)
+                      for f in feat_q]
         feat_k_pool, ids = self.netF.apply(
             {"params": pF}, feat_k, cfg.num_patches, None, rng=rng)
         feat_q_pool, _ = self.netF.apply(
@@ -176,10 +183,15 @@ class RegistrationModel:
     def _loss_fn(self, params, real_A, real_B, rng, d_params=None):
         cfg = self.cfg
         B = real_A.shape[0]
-        kF1, kF2, kF3 = jax.random.split(rng, 3)
+        kF1, kF2, kF3, kFlip = jax.random.split(rng, 4)
 
-        # forward() (registration_model.py:185-196)
+        # forward() (registration_model.py:185-196); FastCUT flip
+        # equivariance flips the generator input along W with p=0.5 (:188-190)
         real = jnp.concatenate([real_A, real_B], axis=0)
+        flipped = None
+        if cfg.flip_equivariance:
+            flipped = jax.random.bernoulli(kFlip)
+            real = jnp.where(flipped, jnp.flip(real, axis=2), real)
         fake = self._apply_G(params["G"], real)
         fake_B = fake[:B]
         idt_B = fake[B:]
@@ -208,18 +220,21 @@ class RegistrationModel:
             for p in range(len(pairs)):
                 nce_vals.append(self._nce_from_feats(
                     params["F"], chunks[2 * p], chunks[2 * p + 1],
-                    keys[p], B))
+                    keys[p], B, flip_q=flipped))
         else:
             nce_vals = [self._nce_from_feats(
                 params["F"], self._encode(params["G"], fake_B),
-                self._encode(params["G"], real_A), kF1, B)]
+                self._encode(params["G"], real_A), kF1, B,
+                flip_q=flipped)]
             if cfg.nce_idt and cfg.lambda_NCE > 0:
                 nce_vals.append(self._nce_from_feats(
                     params["F"], self._encode(params["G"], idt_B),
-                    self._encode(params["G"], real_B), kF2, B))
+                    self._encode(params["G"], real_B), kF2, B,
+                    flip_q=flipped))
             nce_vals.append(self._nce_from_feats(
                 params["F"], self._encode(params["G"], y_source),
-                self._encode(params["G"], real_B), kF3, B))
+                self._encode(params["G"], real_B), kF3, B,
+                flip_q=flipped))
 
         loss_NCE = nce_vals[0]
         if cfg.nce_idt and cfg.lambda_NCE > 0:

@@ -147,6 +147,60 @@ def mse_loss(prediction, target):
     return jnp.mean(jnp.square(prediction - target))
 
 
+def masked_l2(src, tgt, mask=None):
+    """Masked MSE with sum(res*mask)/sum(mask) reduction (reference L2_Loss
+    via the masked SSIM wrapper, util/losses.py:19-60)."""
+    diff = jnp.square(src - tgt)
+    if mask is None:
+        return jnp.mean(diff)
+    mask = mask.astype(diff.dtype)
+    denom = jnp.sum(mask)
+    val = jnp.sum(diff * mask) / jnp.maximum(denom, 1.0)
+    return jnp.where(denom == 0, jnp.zeros((), diff.dtype), val)
+
+
+def tukey_biweight(prediction, target, c: float = 0.8, mask=None):
+    """Tukey biweight robust loss, clamped to its saturation value c^2/6
+    (reference TukeyBiweight, util/losses.py:64-79)."""
+    error = prediction - target
+    max_loss = c ** 2 / 6.0
+    loss = max_loss * (1.0 - (1.0 - jnp.square(error / c)) ** 3)
+    loss = jnp.clip(loss, 0.0, max_loss)
+    if mask is None:
+        return jnp.mean(loss)
+    mask = mask.astype(loss.dtype)
+    denom = jnp.sum(mask)
+    val = jnp.sum(loss * mask) / jnp.maximum(denom, 1.0)
+    return jnp.where(denom == 0, jnp.zeros((), loss.dtype), val)
+
+
+def cross_entropy_loss(logits, target_onehot, mask=None):
+    """Softmax cross entropy over a channels-last class axis (reference
+    CrossEntropy, util/losses.py:400-430)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ce = -jnp.sum(target_onehot * logp, axis=-1)
+    if mask is None:
+        return jnp.mean(ce)
+    mask = jnp.squeeze(mask, axis=-1) if mask.ndim == ce.ndim + 1 else mask
+    mask = mask.astype(ce.dtype)
+    denom = jnp.sum(mask)
+    val = jnp.sum(ce * mask) / jnp.maximum(denom, 1.0)
+    return jnp.where(denom == 0, jnp.zeros((), ce.dtype), val)
+
+
+def nll_loss(log_probs, target_onehot, mask=None):
+    """Negative log likelihood given channels-last log-probabilities
+    (reference NLL, util/losses.py:433-455)."""
+    ce = -jnp.sum(target_onehot * log_probs, axis=-1)
+    if mask is None:
+        return jnp.mean(ce)
+    mask = jnp.squeeze(mask, axis=-1) if mask.ndim == ce.ndim + 1 else mask
+    mask = mask.astype(ce.dtype)
+    denom = jnp.sum(mask)
+    val = jnp.sum(ce * mask) / jnp.maximum(denom, 1.0)
+    return jnp.where(denom == 0, jnp.zeros((), ce.dtype), val)
+
+
 def dice_loss(prediction, target, eps: float = 1e-5):
     """Soft Dice over spatial dims; returns 1 - mean Dice."""
     axes = tuple(range(1, prediction.ndim - 1))

@@ -60,6 +60,9 @@ class BaseOptions:
                             const=True, default=True)
         parser.add_argument("--no_antialias", action="store_true")
         parser.add_argument("--no_antialias_up", action="store_true")
+        parser.add_argument("--compute_dtype", type=str, default="float32",
+                            choices=["float32", "bfloat16"],
+                            help="conv compute dtype (flow math stays f32)")
         # dataset parameters
         parser.add_argument("--dataset_mode", type=str, default="unaligned")
         parser.add_argument("--direction", type=str, default="AtoB")

@@ -45,5 +45,11 @@ class TrainOptions(BaseOptions):
         parser.add_argument("--lr_policy", type=str, default="linear",
                             choices=["linear", "step", "plateau", "cosine"])
         parser.add_argument("--lr_decay_iters", type=int, default=50)
+        # observability (TPU addition; SURVEY.md section 5 — the reference
+        # has only wall-clock timers)
+        parser.add_argument("--profile_dir", type=str, default=None,
+                            help="write a jax.profiler trace here")
+        parser.add_argument("--profile_steps", type=int, default=5,
+                            help="number of steps to trace (after warmup)")
         self.isTrain = True
         return parser

@@ -149,3 +149,58 @@ class TestAugment:
                               svf_std=0.0)
         np.testing.assert_allclose(np.asarray(aug0), np.asarray(src),
                                    atol=1e-5)
+
+
+class TestLossRegistryAndPool:
+    def test_registry_names_and_dispatch(self, rng):
+        from dfmir_tpu.losses import DICT_LOSSES, get_loss
+
+        expected = {"L1", "L2", "TukeyBiweight", "PatchNCE", "Grad", "NCC",
+                    "NMI", "CrossEntropy", "NLL", "Dice", "WGAN", "LSGAN",
+                    "GradPenGAN"}
+        assert expected == set(DICT_LOSSES)
+        a = jnp.asarray(rng.standard_normal((1, 8, 8, 1)), jnp.float32)
+        b = jnp.asarray(rng.standard_normal((1, 8, 8, 1)), jnp.float32)
+        assert float(get_loss("L2")(a, b)) > 0
+        assert float(get_loss("TukeyBiweight")(a, b)) > 0
+        with pytest.raises(KeyError):
+            get_loss("nope")
+
+    def test_masked_l2_and_tukey(self, rng):
+        from dfmir_tpu.losses import masked_l2, tukey_biweight
+
+        a = jnp.ones((1, 4, 4, 1))
+        b = jnp.zeros((1, 4, 4, 1))
+        mask = jnp.zeros((1, 4, 4, 1)).at[0, :2].set(1.0)
+        assert float(masked_l2(a, b, mask)) == pytest.approx(1.0)
+        # tukey saturates at c^2/6 for large errors
+        c = 0.8
+        assert float(tukey_biweight(a * 100, b, c=c)) == \
+            pytest.approx(c ** 2 / 6)
+
+    def test_cross_entropy_nll(self):
+        from dfmir_tpu.losses import cross_entropy_loss, nll_loss
+        import jax
+
+        logits = jnp.asarray([[[[10.0, -10.0]]]])  # (1,1,1,2)
+        onehot = jnp.asarray([[[[1.0, 0.0]]]])
+        assert float(cross_entropy_loss(logits, onehot)) < 1e-3
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        assert float(nll_loss(logp, onehot)) < 1e-3
+
+    def test_image_pool(self):
+        from dfmir_tpu.utils import ImagePool
+
+        pool = ImagePool(pool_size=0)
+        x = np.arange(8, dtype=np.float32).reshape(2, 2, 2)
+        assert pool.query(x) is x  # passthrough
+
+        pool = ImagePool(pool_size=4, seed=0)
+        seen = []
+        for i in range(10):
+            batch = np.full((2, 2, 2), float(i), np.float32)
+            out = pool.query(batch)
+            assert out.shape == batch.shape
+            seen.extend(np.unique(out).tolist())
+        assert len(pool.images) == 4
+        assert len(set(seen)) > 1  # history actually mixed in

@@ -91,3 +91,23 @@ class TestGanMode:
         # D actually trained
         assert float(jnp.abs(jax.tree.leaves(
             state.params["D"])[0] - d0).max()) > 0
+
+
+class TestFlipEquivariance:
+    def test_fastcut_flip_step(self, rng):
+        cfg = RegistrationConfig(crop_size=64, num_patches=64,
+                                 flip_equivariance=True, nce_idt=False,
+                                 lambda_NCE=10.0)
+        m = RegistrationModel(cfg)
+        state = m.init_state(jax.random.PRNGKey(0))
+        A = jnp.asarray(rng.standard_normal((1, 64, 64, 1)), jnp.float32)
+        B = jnp.asarray(rng.standard_normal((1, 64, 64, 1)), jnp.float32)
+        # run with keys landing on both coin outcomes
+        vals = []
+        for seed in range(4):
+            _, metrics = m.train_step(state, A, B,
+                                      jax.random.PRNGKey(seed),
+                                      jnp.float32(2e-4))
+            vals.append(float(metrics["total"]))
+            assert np.isfinite(vals[-1])
+        assert len(set(round(v, 6) for v in vals)) > 1  # coin varies losses

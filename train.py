@@ -28,6 +28,9 @@ def main():
     total_iters = 0
     optimize_time = 0.1
     t_data = 0.0
+    profile_dir = getattr(opt, "profile_dir", None)
+    profile_at = 2 if profile_dir else -1  # trace after compile warmup
+    profiling = False
 
     for epoch in range(opt.epoch_count,
                        opt.n_epochs + opt.n_epochs_decay + 1):
@@ -49,9 +52,17 @@ def main():
                 model.data_dependent_initialize(data)
                 model.setup(opt)
                 model.parallelize()
+            if i == profile_at and not profiling:
+                jax.profiler.start_trace(profile_dir)
+                profiling = True
             model.set_input(data)
             model.optimize_parameters()
             jax.block_until_ready(model.state.step)
+            if profiling and i >= profile_at + opt.profile_steps - 1:
+                jax.profiler.stop_trace()
+                profiling = False
+                profile_at = -1
+                print(f"profiler trace written to {profile_dir}")
             optimize_time = ((time.time() - optimize_start_time)
                              / batch_size * 0.005 + 0.995 * optimize_time)
 
