@@ -40,6 +40,7 @@ class RegistrationConfig:
     ndf: int = 64
     n_layers_D: int = 3
     normD: str = "instance"
+    stylegan2_G_num_downsampling: int = 1
     # registration net (registration_model.py:93-98)
     vxm_enc: Tuple[int, ...] = (16, 32, 32, 64, 64, 64)
     vxm_dec: Tuple[int, ...] = (64, 64, 64, 32, 32, 32, 16)

@@ -70,13 +70,29 @@ class RegistrationModel:
                 no_antialias_up=cfg.no_antialias_up,
                 init_type=cfg.init_type, init_gain=cfg.init_gain,
             )
+        elif cfg.netG in ("stylegan2", "smallstylegan2"):
+            # StyleGAN2 translator (noise injection off inside the jitted
+            # loss — deterministic; pass --nce_layers valid for its
+            # encoder op list)
+            from dfmir_tpu.nets.stylegan2 import StyleGAN2Generator
+
+            self.netG = StyleGAN2Generator(
+                input_nc=cfg.input_nc, output_nc=cfg.output_nc, ngf=cfg.ngf,
+                n_blocks=8 if cfg.netG == "smallstylegan2" else 9,
+                size=cfg.crop_size,
+                num_downsampling=cfg.stylegan2_G_num_downsampling,
+                small=cfg.netG == "smallstylegan2")
         else:
             raise NotImplementedError(f"netG {cfg.netG}")
-        dims = nce_feature_dims(
-            cfg.nce_layers, input_nc=cfg.input_nc, output_nc=cfg.output_nc,
-            ngf=cfg.ngf, n_blocks=cfg.n_blocks,
-            no_antialias=cfg.no_antialias, no_antialias_up=cfg.no_antialias_up,
-        )
+        if cfg.netG.startswith("resnet"):
+            dims = nce_feature_dims(
+                cfg.nce_layers, input_nc=cfg.input_nc,
+                output_nc=cfg.output_nc, ngf=cfg.ngf, n_blocks=cfg.n_blocks,
+                no_antialias=cfg.no_antialias,
+                no_antialias_up=cfg.no_antialias_up,
+            )
+        else:
+            dims = ()  # PatchSampleF derives MLP widths from inputs at init
         self.netF = PatchSampleF(
             feature_dims=tuple(dims), nc=cfg.netF_nc,
             use_mlp=cfg.netF == "mlp_sample",

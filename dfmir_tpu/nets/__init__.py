@@ -9,6 +9,10 @@ from dfmir_tpu.nets.discriminators import (
 )
 from dfmir_tpu.nets.feature_nets import PoolingF, ReshapeF, StridedConvF
 from dfmir_tpu.nets.factory import define_D, define_F, define_G
+from dfmir_tpu.nets.stylegan2 import (
+    MappingNetwork, StyleGAN2Discriminator, StyleGAN2Generator,
+    StyleGAN2SynthesisGenerator, TileStyleGAN2Discriminator,
+)
 
 __all__ = [
     "ResnetGenerator", "ResnetBlock", "resnet_generator_specs",
@@ -17,4 +21,6 @@ __all__ = [
     "NLayerDiscriminator", "PatchDiscriminator", "PixelDiscriminator",
     "PoolingF", "ReshapeF", "StridedConvF",
     "define_D", "define_F", "define_G",
+    "MappingNetwork", "StyleGAN2Discriminator", "StyleGAN2Generator",
+    "StyleGAN2SynthesisGenerator", "TileStyleGAN2Discriminator",
 ]

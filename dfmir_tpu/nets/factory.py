@@ -19,7 +19,8 @@ from dfmir_tpu.nets.unet_gen import UnetGenerator
 
 def define_G(input_nc=1, output_nc=1, ngf=64, netG="resnet_9blocks",
              norm="instance", use_dropout=False, init_type="xavier",
-             init_gain=0.02, no_antialias=False, no_antialias_up=False):
+             init_gain=0.02, no_antialias=False, no_antialias_up=False,
+             size=256, stylegan2_num_downsampling=1):
     if netG.startswith("resnet_") and netG.endswith("blocks"):
         n_blocks = int(netG[len("resnet_"):-len("blocks")])
         return ResnetGenerator(
@@ -33,6 +34,14 @@ def define_G(input_nc=1, output_nc=1, ngf=64, netG="resnet_9blocks",
             input_nc=input_nc, output_nc=output_nc, num_downs=num_downs,
             ngf=ngf, norm=norm, use_dropout=use_dropout,
             init_type=init_type, init_gain=init_gain)
+    if netG in ("stylegan2", "smallstylegan2"):
+        from dfmir_tpu.nets.stylegan2 import StyleGAN2Generator
+
+        return StyleGAN2Generator(
+            input_nc=input_nc, output_nc=output_nc, ngf=ngf,
+            n_blocks=8 if netG == "smallstylegan2" else 9, size=size,
+            num_downsampling=stylegan2_num_downsampling,
+            small=netG == "smallstylegan2")
     raise NotImplementedError(f"Generator model name [{netG}] is not recognized")
 
 
@@ -60,7 +69,18 @@ def define_F(netF="mlp_sample", netF_nc=256,
 
 def define_D(input_nc=1, ndf=64, netD="basic", n_layers_D=3,
              norm="instance", init_type="xavier", init_gain=0.02,
-             no_antialias=False):
+             no_antialias=False, size=256, D_patch_size=64):
+    if netD in ("stylegan2", "patchstylegan2", "smallpatchstylegan2"):
+        from dfmir_tpu.nets.stylegan2 import StyleGAN2Discriminator
+
+        return StyleGAN2Discriminator(
+            input_nc=input_nc, ndf=ndf, size=size,
+            patch="patch" in netD, small_patch="smallpatch" in netD)
+    if netD == "tilestylegan2":
+        from dfmir_tpu.nets.stylegan2 import TileStyleGAN2Discriminator
+
+        return TileStyleGAN2Discriminator(
+            input_nc=input_nc, ndf=ndf, patch_size=D_patch_size)
     if netD == "basic":
         return NLayerDiscriminator(
             ndf=ndf, n_layers=3, norm=norm, no_antialias=no_antialias,

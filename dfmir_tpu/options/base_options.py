@@ -42,11 +42,16 @@ class BaseOptions:
         parser.add_argument("--ngf", type=int, default=64)
         parser.add_argument("--ndf", type=int, default=64)
         parser.add_argument("--netD", type=str, default="basic",
-                            choices=["basic", "n_layers", "pixel", "patch"])
+                            choices=["basic", "n_layers", "pixel", "patch",
+                                     "stylegan2", "tilestylegan2",
+                                     "patchstylegan2"])
         parser.add_argument("--netG", type=str, default="resnet_9blocks",
                             choices=["resnet_9blocks", "resnet_6blocks",
                                      "resnet_4blocks", "unet_256",
-                                     "unet_128"])
+                                     "unet_128", "stylegan2",
+                                     "smallstylegan2"])
+        parser.add_argument("--D_patch_size", type=int, default=64,
+                            help="tile size for tilestylegan2 netD")
         parser.add_argument("--n_layers_D", type=int, default=3)
         parser.add_argument("--normG", type=str, default="instance",
                             choices=["instance", "batch", "none"])
@@ -79,6 +84,8 @@ class BaseOptions:
         parser.add_argument("--display_winsize", type=int, default=256)
         parser.add_argument("--random_scale_max", type=float, default=3.0)
         # additional parameters
+        parser.add_argument("--stylegan2_G_num_downsampling", type=int,
+                            default=1)
         parser.add_argument("--epoch", type=str, default="latest")
         parser.add_argument("--verbose", action="store_true")
         parser.add_argument("--suffix", default="", type=str)
