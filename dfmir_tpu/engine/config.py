@@ -41,7 +41,10 @@ class RegistrationConfig:
     n_layers_D: int = 3
     normD: str = "instance"
     stylegan2_G_num_downsampling: int = 1
-    # registration net (registration_model.py:93-98)
+    # registration net (registration_model.py:93-98).  netR selects the
+    # VxmDense variant: 'vxm' (paper default) | 'vxm_transformer' (GPT
+    # token fusion) | 'vxm_dual' (dual encoders, no fusion)
+    netR: str = "vxm"
     vxm_enc: Tuple[int, ...] = (16, 32, 32, 64, 64, 64)
     vxm_dec: Tuple[int, ...] = (64, 64, 64, 32, 32, 32, 16)
     int_steps: int = 7

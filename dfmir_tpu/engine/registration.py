@@ -98,12 +98,25 @@ class RegistrationModel:
             use_mlp=cfg.netF == "mlp_sample",
             init_type=cfg.init_type, init_gain=cfg.init_gain,
         )
-        self.netR = VxmDense(
-            ndims=cfg.ndims,
-            nb_features=(tuple(cfg.vxm_enc), tuple(cfg.vxm_dec)),
-            int_steps=cfg.int_steps, int_downsize=cfg.int_downsize, bidir=True,
-            compute_dtype=cfg.compute_dtype,
-        )
+        if cfg.netR == "vxm":
+            self.netR = VxmDense(
+                ndims=cfg.ndims,
+                nb_features=(tuple(cfg.vxm_enc), tuple(cfg.vxm_dec)),
+                int_steps=cfg.int_steps, int_downsize=cfg.int_downsize,
+                bidir=True, compute_dtype=cfg.compute_dtype,
+            )
+        elif cfg.netR in ("vxm_transformer", "vxm_dual"):
+            from dfmir_tpu.nets.transfusion import VxmDenseTransformer
+
+            self.netR = VxmDenseTransformer(
+                ndims=cfg.ndims,
+                nb_features=(tuple(cfg.vxm_enc), tuple(cfg.vxm_dec)),
+                int_steps=cfg.int_steps, int_downsize=cfg.int_downsize,
+                bidir=True,
+                fuse="gpt" if cfg.netR == "vxm_transformer" else "none",
+            )
+        else:
+            raise NotImplementedError(f"netR {cfg.netR}")
         self.netD = None
         if cfg.lambda_GAN > 0:
             from dfmir_tpu.nets import define_D

@@ -49,6 +49,9 @@ class RegistrationTask:
         parser.add_argument("--num_patches", type=int, default=256)
         parser.add_argument("--flip_equivariance", type=str2bool, nargs="?",
                             const=True, default=False)
+        parser.add_argument("--netR", type=str, default="vxm",
+                            choices=["vxm", "vxm_transformer", "vxm_dual"],
+                            help="registration net variant")
         parser.set_defaults(pool_size=0)
         opt, _ = parser.parse_known_args()
         if opt.CUT_mode.lower() == "cut":

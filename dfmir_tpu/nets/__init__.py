@@ -13,6 +13,9 @@ from dfmir_tpu.nets.stylegan2 import (
     MappingNetwork, StyleGAN2Discriminator, StyleGAN2Generator,
     StyleGAN2SynthesisGenerator, TileStyleGAN2Discriminator,
 )
+from dfmir_tpu.nets.transfusion import (
+    GPTFusion, TransFusionUnet, VxmDenseDual, VxmDenseTransformer,
+)
 
 __all__ = [
     "ResnetGenerator", "ResnetBlock", "resnet_generator_specs",
@@ -23,4 +26,5 @@ __all__ = [
     "define_D", "define_F", "define_G",
     "MappingNetwork", "StyleGAN2Discriminator", "StyleGAN2Generator",
     "StyleGAN2SynthesisGenerator", "TileStyleGAN2Discriminator",
+    "GPTFusion", "TransFusionUnet", "VxmDenseDual", "VxmDenseTransformer",
 ]

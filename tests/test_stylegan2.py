@@ -163,3 +163,50 @@ class TestStyleGAN2InEngine:
         state, metrics = m.train_step(state, A, B, jax.random.PRNGKey(1),
                                       jnp.float32(2e-4))
         assert all(np.isfinite(float(v)) for v in metrics.values())
+
+
+class TestTransFusion:
+    def test_vxm_dense_transformer(self, rng):
+        from dfmir_tpu.nets.transfusion import VxmDenseTransformer
+
+        net = VxmDenseTransformer(
+            nb_features=((8, 16), (16, 16, 8)), int_steps=3,
+            n_head=2, n_layer=2)
+        A = jnp.asarray(rng.standard_normal((1, 32, 32, 1)), np.float32)
+        B = jnp.asarray(rng.standard_normal((1, 32, 32, 1)), np.float32)
+        params = net.init(jax.random.PRNGKey(0), A, B)
+        y_s, y_t, flow = net.apply(params, A, B)
+        assert y_s.shape == A.shape and flow.shape == (1, 32, 32, 2)
+        y_s, flow = net.apply(params, A, B, registration=True)
+        assert y_s.shape == A.shape
+        # flow head starts near zero => warp ~ identity
+        np.testing.assert_allclose(np.asarray(y_s), np.asarray(A), atol=1e-2)
+
+    def test_vxm_dense_dual_no_fusion(self, rng):
+        from dfmir_tpu.nets.transfusion import VxmDenseDual
+
+        net = VxmDenseDual(nb_features=((8, 16), (16, 16, 8)), int_steps=3)
+        A = jnp.asarray(rng.standard_normal((1, 32, 32, 1)), np.float32)
+        params = net.init(jax.random.PRNGKey(0), A, A)
+        names = jax.tree_util.tree_structure(params)
+        assert "fusion" not in str(names)  # no transformer params
+        out = net.apply(params, A, A)
+        assert out[0].shape == A.shape
+
+    def test_fusion_is_differentiable(self, rng):
+        from dfmir_tpu.nets.transfusion import VxmDenseTransformer
+        from dfmir_tpu.losses import mse_loss
+
+        net = VxmDenseTransformer(nb_features=((8, 16), (16, 16, 8)),
+                                  int_steps=2, n_head=2, n_layer=1)
+        A = jnp.asarray(rng.standard_normal((1, 32, 32, 1)), np.float32)
+        B = jnp.asarray(rng.standard_normal((1, 32, 32, 1)), np.float32)
+        params = net.init(jax.random.PRNGKey(0), A, B)
+
+        def loss(p):
+            y_s, _, _ = net.apply(p, A, B)
+            return mse_loss(y_s, B)
+
+        g = jax.grad(loss)(params)
+        gnorm = sum(float(jnp.sum(jnp.abs(l))) for l in jax.tree.leaves(g))
+        assert np.isfinite(gnorm) and gnorm > 0
