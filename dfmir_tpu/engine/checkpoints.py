@@ -81,3 +81,45 @@ def load_optim(save_dir: str, epoch, template) -> Optional[Any]:
     with open(path, "rb") as f:
         tree = serialization.msgpack_restore(f.read())
     return serialization.from_state_dict(template, tree)
+
+
+# ------------------------------------------------------------ config-carrying
+
+def save_with_config(path: str, cfg, params) -> None:
+    """One-file checkpoint carrying the constructor config alongside the
+    weights (capability of the reference LoadableModel/store_config_args,
+    /root/reference/models/voxelmorph/torchvoxelmorph/modelio.py:7-76) —
+    reload without knowing the architecture flags."""
+    import dataclasses
+
+    cfg_dict = {k: (list(v) if isinstance(v, tuple) else v)
+                for k, v in dataclasses.asdict(cfg).items()}
+    blob = {
+        "config": cfg_dict,
+        "config_class": type(cfg).__name__,
+        "params": _to_host(params),
+    }
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(blob))
+
+
+def load_with_config(path: str):
+    """Returns (cfg, params_state_dict).  cfg is reconstructed from the
+    stored class name (RegistrationConfig / VxmConfig)."""
+    with open(path, "rb") as f:
+        blob = serialization.msgpack_restore(f.read())
+    name = blob["config_class"]
+    if name == "RegistrationConfig":
+        from dfmir_tpu.engine.config import RegistrationConfig as C
+    elif name == "VxmConfig":
+        from dfmir_tpu.engine.vxm_engine import VxmConfig as C
+    else:
+        raise KeyError(f"unknown config class {name!r}")
+    raw = dict(blob["config"])
+    import dataclasses as _dc
+
+    for f_ in _dc.fields(C):
+        if f_.name in raw and isinstance(raw[f_.name], (list, tuple)):
+            raw[f_.name] = tuple(raw[f_.name])
+    return C(**raw), blob["params"]

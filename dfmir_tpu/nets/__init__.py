@@ -13,6 +13,9 @@ from dfmir_tpu.nets.stylegan2 import (
     MappingNetwork, StyleGAN2Discriminator, StyleGAN2Generator,
     StyleGAN2SynthesisGenerator, TileStyleGAN2Discriminator,
 )
+from dfmir_tpu.nets.munit import (
+    ContentEncoder, Decoder, E_adaIN, GResnet, StyleEncoder,
+)
 from dfmir_tpu.nets.transfusion import (
     GPTFusion, TransFusionUnet, VxmDenseDual, VxmDenseTransformer,
 )
@@ -27,4 +30,5 @@ __all__ = [
     "MappingNetwork", "StyleGAN2Discriminator", "StyleGAN2Generator",
     "StyleGAN2SynthesisGenerator", "TileStyleGAN2Discriminator",
     "GPTFusion", "TransFusionUnet", "VxmDenseDual", "VxmDenseTransformer",
+    "ContentEncoder", "Decoder", "E_adaIN", "GResnet", "StyleEncoder",
 ]

@@ -34,6 +34,11 @@ def define_G(input_nc=1, output_nc=1, ngf=64, netG="resnet_9blocks",
             input_nc=input_nc, output_nc=output_nc, num_downs=num_downs,
             ngf=ngf, norm=norm, use_dropout=use_dropout,
             init_type=init_type, init_gain=init_gain)
+    if netG == "resnet_cat":
+        from dfmir_tpu.nets.munit import GResnet
+
+        return GResnet(input_nc=input_nc, output_nc=output_nc, nz=0,
+                       num_downs=2, n_res=4, ngf=ngf)
     if netG in ("stylegan2", "smallstylegan2"):
         from dfmir_tpu.nets.stylegan2 import StyleGAN2Generator
 

@@ -49,7 +49,7 @@ class BaseOptions:
                             choices=["resnet_9blocks", "resnet_6blocks",
                                      "resnet_4blocks", "unet_256",
                                      "unet_128", "stylegan2",
-                                     "smallstylegan2"])
+                                     "smallstylegan2", "resnet_cat"])
         parser.add_argument("--D_patch_size", type=int, default=64,
                             help="tile size for tilestylegan2 netD")
         parser.add_argument("--n_layers_D", type=int, default=3)
