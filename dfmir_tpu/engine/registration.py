@@ -143,9 +143,13 @@ class RegistrationModel:
         cfg = self.cfg
         kG, kF, kR, kS = jax.random.split(rng, 4)
         A, B = self._dummy_batch(batch_size)
-        pG = self.netG.init(kG, A)["params"]
+        init_rngs = {"params": kG}
+        if not cfg.no_dropout:
+            init_rngs["dropout"] = jax.random.fold_in(kG, 3)
+        pG = self.netG.init(init_rngs, A)["params"]
         feats = self.netG.apply(
-            {"params": pG}, A, layers=cfg.nce_layers, encode_only=True)
+            {"params": pG}, A, layers=cfg.nce_layers, encode_only=True,
+            rngs=self._g_rngs(jax.random.fold_in(kG, 4)))
         pF = self.netF.init(kF, feats, cfg.num_patches, None, rng=kS)["params"]
         pR = self.netR.init(kR, A, B)["params"]
         params = {"G": pG, "F": pF, "R": pR}
@@ -173,15 +177,29 @@ class RegistrationModel:
         return jax.tree.map(
             lambda x: x.astype(dt) if x.dtype == jnp.float32 else x, p)
 
-    def _apply_G(self, pG, x):
+    def _g_rngs(self, rng=None):
+        """Dropout rng collection (only when --no_dropout false)."""
+        if self.cfg.no_dropout or rng is None:
+            return {}
+        return {"dropout": rng}
+
+    def _apply_G(self, pG, x, rng=None, train=True):
+        kw = {}
+        if self.cfg.netG.startswith("resnet"):
+            kw["train"] = train and not self.cfg.no_dropout
         out = self.netG.apply({"params": self._cast_params(pG)},
-                              x.astype(self._ct()))
+                              x.astype(self._ct()),
+                              rngs=self._g_rngs(rng if train else None), **kw)
         return out.astype(jnp.float32)
 
-    def _encode(self, pG, x):
+    def _encode(self, pG, x, rng=None, train=True):
+        kw = {}
+        if self.cfg.netG.startswith("resnet"):
+            kw["train"] = train and not self.cfg.no_dropout
         feats = self.netG.apply(
             {"params": self._cast_params(pG)}, x.astype(self._ct()),
-            layers=self.cfg.nce_layers, encode_only=True)
+            layers=self.cfg.nce_layers, encode_only=True,
+            rngs=self._g_rngs(rng if train else None), **kw)
         return [f.astype(jnp.float32) for f in feats]
 
     def _nce_from_feats(self, pF, feat_q, feat_k, rng, batch_size,
@@ -212,7 +230,7 @@ class RegistrationModel:
     def _loss_fn(self, params, real_A, real_B, rng, d_params=None):
         cfg = self.cfg
         B = real_A.shape[0]
-        kF1, kF2, kF3, kFlip = jax.random.split(rng, 4)
+        kF1, kF2, kF3, kFlip, kDrop = jax.random.split(rng, 5)
 
         # forward() (registration_model.py:185-196); FastCUT flip
         # equivariance flips the generator input along W with p=0.5 (:188-190)
@@ -221,7 +239,7 @@ class RegistrationModel:
         if cfg.flip_equivariance:
             flipped = jax.random.bernoulli(kFlip)
             real = jnp.where(flipped, jnp.flip(real, axis=2), real)
-        fake = self._apply_G(params["G"], real)
+        fake = self._apply_G(params["G"], real, rng=kDrop)
         fake_B = fake[:B]
         idt_B = fake[B:]
 
@@ -238,7 +256,8 @@ class RegistrationModel:
             pairs.append((y_source, real_B))  # loss_local
             stacked = jnp.concatenate(
                 [x for q, k in pairs for x in (q, k)], axis=0)
-            feats = self._encode(params["G"], stacked)
+            feats = self._encode(params["G"], stacked,
+                                 rng=jax.random.fold_in(kDrop, 1))
             # split each tapped activation back into per-pair q/k chunks
             chunks = [
                 [f[i * B:(i + 1) * B] for f in feats]
@@ -378,7 +397,7 @@ class RegistrationModel:
         Returns (fake_B, idt_B, y_source, pos_flow)."""
         B = real_A.shape[0]
         real = jnp.concatenate([real_A, real_B], axis=0)
-        fake = self._apply_G(params["G"], real)
+        fake = self._apply_G(params["G"], real, train=False)
         y_source, pos_flow = self.netR.apply(
             {"params": self._cast_params(params["R"])}, real_A, real_B,
             registration=True)
