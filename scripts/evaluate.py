@@ -1,0 +1,125 @@
+"""Offline registration evaluation: the BASELINE.md metric set for a trained
+checkpoint — deformation-field statistics (%|J|<0, |J| range), image
+similarity (global NCC, PSNR, windowed NCC), and segmentation overlap
+(per-label Dice, HD95) when label maps exist.
+
+Usage:
+  python scripts/evaluate.py --dataroot DATA --name EXP \
+      [--checkpoints_dir ./checkpoints] [--crop_size 256] [--num_test N] \
+      [--out results/eval.json]
+
+Expects the reference layout: {dataroot}/testA, testB (+ optional
+trainA_label with per-image label maps).  Prints one JSON summary line and
+writes per-pair records next to --out.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataroot", required=True)
+    ap.add_argument("--name", required=True)
+    ap.add_argument("--checkpoints_dir", default="./checkpoints")
+    ap.add_argument("--epoch", default="latest")
+    ap.add_argument("--crop_size", type=int, default=256)
+    ap.add_argument("--num_patches", type=int, default=256)
+    ap.add_argument("--num_test", type=int, default=50)
+    ap.add_argument("--gpu_ids", default="0")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    if args.gpu_ids == "-1":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+    from PIL import Image
+
+    import jax
+
+    from dfmir_tpu.engine import RegistrationConfig, RegistrationModel
+    from dfmir_tpu.engine import checkpoints as ckpt
+    from dfmir_tpu.metrics import (
+        hausdorff_distance, label_dice, ncc_metric, psnr,
+    )
+    from dfmir_tpu.losses import ncc_loss
+    from dfmir_tpu.ops import folding_fraction, jacobian_det, warp
+    from dfmir_tpu.data.transforms import to_array
+
+    cfg = RegistrationConfig(crop_size=args.crop_size,
+                             num_patches=args.num_patches)
+    model = RegistrationModel(cfg)
+    state = model.init_state(jax.random.PRNGKey(0), batch_size=1)
+    save_dir = os.path.join(args.checkpoints_dir, args.name)
+    loaded = ckpt.load_networks(save_dir, args.epoch, ["G", "R"],
+                                templates=state.params)
+    params = dict(state.params)
+    params.update(loaded)
+
+    def load_img(path):
+        img = Image.open(path).convert("L").resize(
+            (args.crop_size, args.crop_size), Image.BICUBIC)
+        return to_array(img)[None]
+
+    A_dir = os.path.join(args.dataroot, "testA")
+    B_dir = os.path.join(args.dataroot, "testB")
+    names_A = sorted(os.listdir(A_dir))[: args.num_test]
+    names_B = sorted(os.listdir(B_dir))
+    label_dir = os.path.join(args.dataroot, "trainA_label")
+
+    records = []
+    for i, name in enumerate(names_A):
+        A = load_img(os.path.join(A_dir, name))
+        B = load_img(os.path.join(B_dir, names_B[i % len(names_B)]))
+        fake_B, idt_B, y_source, pos_flow = model.register(params, A, B)
+        y_np = np.asarray(y_source)[0, ..., 0]
+        B_np = np.asarray(B)[0, ..., 0]
+        rec = {
+            "name": name,
+            "folding_fraction": float(np.asarray(
+                folding_fraction(pos_flow))[0]),
+            "jac_det_min": float(np.asarray(jacobian_det(pos_flow)).min()),
+            "ncc_global": ncc_metric(y_np, B_np),
+            "ncc_windowed": -float(ncc_loss(y_source, B)),
+            "psnr": psnr(y_np, B_np),
+        }
+        lab_path = os.path.join(label_dir, name)
+        if os.path.exists(lab_path):
+            lab = np.asarray(Image.open(lab_path))[None, :, :, None]
+            warped = np.asarray(warp(
+                lab.astype(np.float32), pos_flow, mode="nearest"))
+            d = label_dice(warped[0, ..., 0].astype(lab.dtype),
+                           lab[0, ..., 0])
+            rec["label_dice_mean"] = float(np.mean(list(d.values()))) \
+                if d else 1.0
+            masks = [(warped[0, ..., 0] == l, lab[0, ..., 0] == l)
+                     for l in d]
+            hd = [hausdorff_distance(a, b, percentile=95)
+                  for a, b in masks if a.any() and b.any()]
+            if hd:
+                rec["hd95_mean"] = float(np.mean(hd))
+        records.append(rec)
+
+    keys = sorted({k for r in records for k in r if k != "name"})
+    summary = {f"mean_{k}": float(np.mean([r[k] for r in records if k in r]))
+               for k in keys}
+    summary["n_pairs"] = len(records)
+    print(json.dumps(summary))
+    if args.out:
+        os.makedirs(os.path.dirname(os.path.abspath(args.out)),
+                    exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump({"summary": summary, "records": records}, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -9,6 +9,7 @@ TPU deltas: the label warp runs on-device through the same fused warp op
 model outputs come from one jitted register() call.
 """
 
+import json
 import os
 
 import numpy as np
@@ -17,8 +18,9 @@ from PIL import Image
 from dfmir_tpu.data import create_dataset
 from dfmir_tpu.models import create_model
 from dfmir_tpu.options import TestOptions
-from dfmir_tpu.ops import warp
+from dfmir_tpu.ops import folding_fraction, jacobian_det, warp
 from dfmir_tpu.utils import html as html_mod
+from dfmir_tpu.utils.jac_vis import jac_det_to_rgb, overlay
 from dfmir_tpu.utils.util import copyconf
 from dfmir_tpu.utils.visualizer import save_images
 
@@ -87,6 +89,21 @@ def main():
         os.makedirs(out_dir, exist_ok=True)
         save_gray(np.asarray(y_source)[0, ..., 0] / 2.0 + 0.5,
                   os.path.join(out_dir, name))
+
+        # Jacobian-determinant overlay + folding stats (capability the
+        # reference only sketched: util/jac_vis.py has the colormap but no
+        # |J| computation)
+        det = np.asarray(jacobian_det(pos_flow))[0]  # (H, W)
+        fold = float(np.asarray(folding_fraction(pos_flow))[0])
+        jac_dir = os.path.join(opt.dataroot, "jac_vis")
+        os.makedirs(jac_dir, exist_ok=True)
+        rgb = overlay(np.asarray(y_source)[0, ..., 0], jac_det_to_rgb(det))
+        Image.fromarray(rgb).save(os.path.join(jac_dir, name))
+        stats = {"name": name, "folding_fraction": fold,
+                 "jac_det_min": float(det.min()),
+                 "jac_det_max": float(det.max())}
+        with open(os.path.join(jac_dir, "stats.jsonl"), "a") as f:
+            f.write(json.dumps(stats) + "\n")
 
         visuals = {
             "real_A": np.asarray(model._batch[0]),
