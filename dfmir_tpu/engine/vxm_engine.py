@@ -41,6 +41,9 @@ class VxmConfig:
     lr: float = 1e-4
     batch_size: int = 1
     compute_dtype: str = "float32"
+    remat: bool = False  # rematerialize the UNet in backward: trades ~1x
+    #                      extra forward FLOPs for O(1) activation memory —
+    #                      the 160^3 full-volume training lever
 
     @classmethod
     def from_opt(cls, opt) -> "VxmConfig":
@@ -93,8 +96,13 @@ class VxmEngine:
 
     def _loss_fn(self, params, source, target):
         cfg = self.cfg
-        out = self.netR.apply({"params": params}, source, target,
-                              return_preint=True)
+
+        def fwd(p, s, t):
+            return self.netR.apply({"params": p}, s, t, return_preint=True)
+
+        if cfg.remat:
+            fwd = jax.checkpoint(fwd)
+        out = fwd(params, source, target)
         if cfg.bidir:
             y_source, y_target, pos_flow, preint = out
             sim = 0.5 * (self._sim(y_source, target)

@@ -33,6 +33,10 @@ class VxmTask:
         parser.add_argument("--int_downsize", type=int, default=2)
         parser.add_argument("--bidir", type=str2bool, nargs="?", const=True,
                             default=False)
+        parser.add_argument("--remat", type=str2bool, nargs="?", const=True,
+                            default=False,
+                            help="rematerialize the UNet in backward "
+                                 "(O(1) activation memory for 160^3)")
         parser.add_argument("--enc", type=str, default="16,32,32,32")
         parser.add_argument("--dec", type=str,
                             default="32,32,32,32,32,16,16")

@@ -149,3 +149,19 @@ class TestVolumeDataset:
         with pytest.raises(ValueError):
             load_volume(str(tmp_path / "bad.npy"))
         assert normalize_minmax(np.zeros((2, 2, 2))).max() == 0.0
+
+
+class TestRemat:
+    def test_remat_matches_no_remat(self):
+        import dataclasses
+
+        cfg = dataclasses.replace(SMALL, remat=True)
+        eng_r = VxmEngine(cfg)
+        eng_n = VxmEngine(SMALL)
+        state = eng_n.init_state(jax.random.PRNGKey(0))
+        x = jnp.asarray(_sphere(24, (12, 12, 12), 6)[None, ..., None])
+        y = jnp.asarray(_sphere(24, (14, 10, 12), 6)[None, ..., None])
+        _, m_n = eng_n.train_step(state, x, y)
+        _, m_r = eng_r.train_step(state, x, y)
+        np.testing.assert_allclose(float(m_n["total"]),
+                                   float(m_r["total"]), rtol=1e-6)
