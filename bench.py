@@ -171,8 +171,10 @@ def main() -> None:
         def body(_, carry):
             A, acc = carry
             fake_B, idt_B, y_source, pos_flow = model.register(params, A, B)
-            # feed a function of the output back in: forces serialization
-            A = A + 1e-6 * y_source
+            # feed a function of EVERY output back in: forces serialization
+            # AND keeps all networks live (consuming only the flow would let
+            # XLA dead-code-eliminate the whole translation net)
+            A = A + 1e-6 * (y_source + fake_B + idt_B)
             return A, acc + jnp.sum(pos_flow[0, 0, 0])
         A, acc = lax.fori_loop(0, n, body, (A, jnp.float32(0.0)))
         return acc

@@ -49,6 +49,33 @@ def tensor2im(arr, imtype=np.uint8) -> np.ndarray:
     return np.clip(img, 0, 255).astype(imtype)
 
 
+def correct_resize(arr, size, method=Image.BICUBIC) -> np.ndarray:
+    """PIL-quality resize of a (B,H,W,C) [-1,1] batch to ``size`` (w, h)
+    (reference util.correct_resize, util/util.py:157-166)."""
+    arr = np.asarray(arr, np.float32)
+    out = []
+    for i in range(arr.shape[0]):
+        img = Image.fromarray(tensor2im(arr[i]))
+        resized = np.asarray(img.resize(size, method), np.float32) / 255.0
+        out.append(resized * 2.0 - 1.0)
+    res = np.stack(out)
+    if arr.shape[-1] == 1:
+        res = res.mean(axis=-1, keepdims=True)
+    return res
+
+
+def correct_resize_label(arr, size) -> np.ndarray:
+    """Nearest-neighbor PIL resize of a (B,H,W[,1]) integer label batch
+    (reference util.correct_resize_label, util/util.py:143-154)."""
+    arr = np.asarray(arr)
+    out = []
+    for i in range(arr.shape[0]):
+        lab = arr[i, ..., 0] if arr.ndim == 4 else arr[i]
+        img = Image.fromarray(lab.astype(np.uint8))
+        out.append(np.asarray(img.resize(size, Image.NEAREST), np.int64))
+    return np.stack(out)
+
+
 def save_image(image_numpy: np.ndarray, image_path: str,
                aspect_ratio: float = 1.0) -> None:
     pil = Image.fromarray(image_numpy)

@@ -77,14 +77,14 @@ class Visualizer:
         for label, image in visuals.items():
             im = tensor2im(np.asarray(image))
             save_image(im, os.path.join(
-                self.img_dir, f"epoch{epoch:.3f}_{label}.png"))
+                self.img_dir, f"epoch{epoch:03d}_{label}.png"))
         webpage = html_mod.HTML(
             self.web_dir, f"Experiment name = {self.name}", refresh=0)
         for n in range(epoch, 0, -1):
             webpage.add_header(f"epoch [{n}]")
             ims, txts, links = [], [], []
             for label in visuals:
-                img_name = f"epoch{n:.3f}_{label}.png"
+                img_name = f"epoch{n:03d}_{label}.png"
                 if os.path.exists(os.path.join(self.img_dir, img_name)):
                     ims.append(img_name)
                     txts.append(label)

@@ -251,3 +251,20 @@ class TestEndToEnd:
         warped = np.asarray(Image.open(data / "deform_label"
                                        / "img_000.png"))
         assert set(np.unique(warped)) <= set(np.unique(orig))
+
+
+class TestCorrectResize:
+    def test_correct_resize_and_label(self):
+        from dfmir_tpu.utils.util import correct_resize, correct_resize_label
+
+        arr = np.linspace(-1, 1, 16 * 16, dtype=np.float32).reshape(
+            1, 16, 16, 1)
+        out = correct_resize(arr, (8, 8))
+        assert out.shape == (1, 8, 8, 1)
+        assert -1.0 <= out.min() and out.max() <= 1.0
+
+        lab = np.zeros((1, 16, 16, 1), np.int64)
+        lab[0, 8:, 8:] = 3
+        out = correct_resize_label(lab, (8, 8))
+        assert out.shape == (1, 8, 8)
+        assert set(np.unique(out)) <= {0, 3}
