@@ -91,30 +91,72 @@ class GPTFusion(nn.Module):
                 tok[:, n:].reshape(B, P, Pw, C))
 
 
+class CrossAttentionFusion(nn.Module):
+    """Non-local cross-attention between two streams (capability of the
+    reference NLBlockND_cross / AttentionNet, networks.py:560-720): each
+    stream attends over the other's tokens; residual add."""
+
+    n_head: int = 4
+
+    @nn.compact
+    def __call__(self, ta, tb):
+        B, P, Pw, C = ta.shape
+        qa = ta.reshape(B, -1, C)
+        qb = tb.reshape(B, -1, C)
+        attn_ab = nn.MultiHeadDotProductAttention(
+            num_heads=self.n_head, qkv_features=C,
+            kernel_init=normal_init(0.02), name="a_from_b")
+        attn_ba = nn.MultiHeadDotProductAttention(
+            num_heads=self.n_head, qkv_features=C,
+            kernel_init=normal_init(0.02), name="b_from_a")
+        fa = qa + attn_ab(nn.LayerNorm()(qa), nn.LayerNorm()(qb))
+        fb = qb + attn_ba(nn.LayerNorm()(qb), nn.LayerNorm()(qa))
+        return fa.reshape(B, P, Pw, C), fb.reshape(B, P, Pw, C)
+
+
 class TransFusionUnet(nn.Module):
-    """Dual-encoder UNet with per-level GPT token fusion
-    (reference Unet_Transformer, networks.py:124-291)."""
+    """Dual-encoder UNet with cross-modal token fusion.
+
+    fuse modes (capabilities of the reference variant zoo,
+    torchvoxelmorph/networks.py:124-825):
+    - 'gpt':        joint GPT fusion at EVERY level (Unet_Transformer)
+    - 'bottleneck': joint GPT fusion at the deepest level only
+                    (Whole_Transformer)
+    - 'cross':      per-level non-local cross-attention (AttentionNet /
+                    NLBlockND_cross)
+    - 'none':       plain dual encoders (DualUnet)
+    """
 
     enc_nf: Sequence[int] = (16, 32, 32, 64, 64, 64)
     dec_nf: Sequence[int] = (64, 64, 64, 32, 32, 32, 16)
     n_head: int = 4
     n_layer: int = 8
     anchors: int = 8
-    fuse: str = "gpt"  # 'gpt' | 'none' (dual-encoder only)
+    fuse: str = "gpt"  # 'gpt' | 'bottleneck' | 'cross' | 'none'
 
     @nn.compact
     def __call__(self, x, y):
+        if self.fuse not in ("gpt", "bottleneck", "cross", "none"):
+            raise ValueError(f"unknown fuse mode {self.fuse!r}")
         skips = [jnp.concatenate([x, y], axis=-1)]
         hx, hy = x, y
+        n_levels = len(self.enc_nf)
         for i, nf in enumerate(self.enc_nf):
             hx = VxmConvBlock(nf, stride=2, name=f"down_x_{i}")(hx)
             hy = VxmConvBlock(nf, stride=2, name=f"down_y_{i}")(hy)
-            if self.fuse == "gpt":
+            here = (self.fuse == "gpt"
+                    or (self.fuse == "bottleneck" and i == n_levels - 1)
+                    or self.fuse == "cross")
+            if here:
                 ta = _adaptive_avg_pool(hx, self.anchors)
                 tb = _adaptive_avg_pool(hy, self.anchors)
-                fa, fb = GPTFusion(self.n_head, self.n_layer,
-                                   anchors=self.anchors,
-                                   name=f"fusion_{i}")(ta, tb)
+                if self.fuse == "cross":
+                    fa, fb = CrossAttentionFusion(
+                        self.n_head, name=f"fusion_{i}")(ta, tb)
+                else:
+                    fa, fb = GPTFusion(self.n_head, self.n_layer,
+                                       anchors=self.anchors,
+                                       name=f"fusion_{i}")(ta, tb)
                 H, W = hx.shape[1], hx.shape[2]
                 hx = hx + _bilinear_resize(fa, H, W)
                 hy = hy + _bilinear_resize(fb, H, W)

@@ -210,3 +210,22 @@ class TestTransFusion:
         g = jax.grad(loss)(params)
         gnorm = sum(float(jnp.sum(jnp.abs(l))) for l in jax.tree.leaves(g))
         assert np.isfinite(gnorm) and gnorm > 0
+
+
+class TestFusionModes:
+    @pytest.mark.parametrize("fuse", ["bottleneck", "cross"])
+    def test_fuse_variants_run(self, rng, fuse):
+        from dfmir_tpu.nets.transfusion import VxmDenseTransformer
+
+        net = VxmDenseTransformer(
+            nb_features=((8, 16), (16, 16, 8)), int_steps=2,
+            n_head=2, n_layer=1, fuse=fuse)
+        A = jnp.asarray(rng.standard_normal((1, 32, 32, 1)), np.float32)
+        B = jnp.asarray(rng.standard_normal((1, 32, 32, 1)), np.float32)
+        params = net.init(jax.random.PRNGKey(0), A, B)
+        tree = str(jax.tree_util.tree_structure(params))
+        if fuse == "bottleneck":
+            assert "fusion_1" in tree and "fusion_0" not in tree
+        y_s, y_t, flow = net.apply(params, A, B)
+        assert y_s.shape == A.shape
+        assert np.isfinite(np.asarray(flow)).all()
