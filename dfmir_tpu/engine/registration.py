@@ -34,9 +34,7 @@ from dfmir_tpu.engine.config import RegistrationConfig
 from dfmir_tpu.losses import (
     gan_loss, masked_l1, patch_nce_loss, smoothness_loss,
 )
-from dfmir_tpu.nets import (
-    PatchSampleF, ResnetGenerator, VxmDense, nce_feature_dims,
-)
+from dfmir_tpu.nets import VxmDense, nce_feature_dims
 from dfmir_tpu.ops import folding_fraction, jacobian_det, warp
 
 
@@ -59,32 +57,34 @@ def grid_image(size: int, spacing: int = 16, thickness: int = 1) -> np.ndarray:
 class RegistrationModel:
     """Builds the three networks and exposes jitted train/eval steps."""
 
+    # netG family -> apply-protocol quirks (dropout 'train' kwarg support)
+    _FAMILIES = {"resnet", "unet", "munit", "stylegan2"}
+
     def __init__(self, cfg: RegistrationConfig):
         self.cfg = cfg
-        if cfg.netG.startswith("resnet"):
-            self.netG = ResnetGenerator(
-                input_nc=cfg.input_nc, output_nc=cfg.output_nc, ngf=cfg.ngf,
-                n_blocks=cfg.n_blocks, norm=cfg.normG,
-                use_dropout=not cfg.no_dropout,
-                no_antialias=cfg.no_antialias,
-                no_antialias_up=cfg.no_antialias_up,
-                init_type=cfg.init_type, init_gain=cfg.init_gain,
-            )
-        elif cfg.netG in ("stylegan2", "smallstylegan2"):
-            # StyleGAN2 translator (noise injection off inside the jitted
-            # loss — deterministic; pass --nce_layers valid for its
-            # encoder op list)
-            from dfmir_tpu.nets.stylegan2 import StyleGAN2Generator
+        # ALL net construction goes through the define_G/define_F/define_D
+        # factories (reference define_* at networks.py:218-375 are the only
+        # construction path, registration_model.py:91-92); unknown choices
+        # raise NotImplementedError from the factory.
+        from dfmir_tpu.nets.factory import define_F, define_G
 
-            self.netG = StyleGAN2Generator(
-                input_nc=cfg.input_nc, output_nc=cfg.output_nc, ngf=cfg.ngf,
-                n_blocks=8 if cfg.netG == "smallstylegan2" else 9,
-                size=cfg.crop_size,
-                num_downsampling=cfg.stylegan2_G_num_downsampling,
-                small=cfg.netG == "smallstylegan2")
+        self.netG = define_G(
+            input_nc=cfg.input_nc, output_nc=cfg.output_nc, ngf=cfg.ngf,
+            netG=cfg.netG, norm=cfg.normG, use_dropout=not cfg.no_dropout,
+            init_type=cfg.init_type, init_gain=cfg.init_gain,
+            no_antialias=cfg.no_antialias, no_antialias_up=cfg.no_antialias_up,
+            size=cfg.crop_size,
+            stylegan2_num_downsampling=cfg.stylegan2_G_num_downsampling)
+        if cfg.netG.startswith("resnet_") and cfg.netG.endswith("blocks"):
+            self._g_family = "resnet"
+        elif cfg.netG.startswith("unet"):
+            self._g_family = "unet"
+        elif cfg.netG == "resnet_cat":
+            self._g_family = "munit"
         else:
-            raise NotImplementedError(f"netG {cfg.netG}")
-        if cfg.netG.startswith("resnet"):
+            self._g_family = "stylegan2"
+
+        if self._g_family == "resnet":
             dims = nce_feature_dims(
                 cfg.nce_layers, input_nc=cfg.input_nc,
                 output_nc=cfg.output_nc, ngf=cfg.ngf, n_blocks=cfg.n_blocks,
@@ -93,11 +93,23 @@ class RegistrationModel:
             )
         else:
             dims = ()  # PatchSampleF derives MLP widths from inputs at init
-        self.netF = PatchSampleF(
-            feature_dims=tuple(dims), nc=cfg.netF_nc,
-            use_mlp=cfg.netF == "mlp_sample",
-            init_type=cfg.init_type, init_gain=cfg.init_gain,
-        )
+        self._f_extra_vars = {}
+        strided_specs = None
+        if cfg.netF == "strided_conv":
+            shapes = self._tap_shapes()
+            strided_specs = [(int(s.shape[-1]), int(s.shape[1]))
+                             for s in shapes]
+        self.netF = define_F(
+            netF=cfg.netF, netF_nc=cfg.netF_nc, feature_dims=tuple(dims),
+            strided_specs=strided_specs, init_type=cfg.init_type,
+            init_gain=cfg.init_gain)
+        if cfg.netF == "strided_conv":
+            feats0 = [jnp.zeros(s.shape, jnp.float32) for s in shapes]
+            vs = self.netF.init(jax.random.PRNGKey(0), feats0)
+            # EMA centering stats: held as zeros constants (update_ema is
+            # off inside the jitted loss; see _apply_F)
+            self._f_extra_vars = {k: v for k, v in vs.items()
+                                  if k != "params"}
         if cfg.netR == "vxm":
             self.netR = VxmDense(
                 ndims=cfg.ndims,
@@ -147,10 +159,8 @@ class RegistrationModel:
         if not cfg.no_dropout:
             init_rngs["dropout"] = jax.random.fold_in(kG, 3)
         pG = self.netG.init(init_rngs, A)["params"]
-        feats = self.netG.apply(
-            {"params": pG}, A, layers=cfg.nce_layers, encode_only=True,
-            rngs=self._g_rngs(jax.random.fold_in(kG, 4)))
-        pF = self.netF.init(kF, feats, cfg.num_patches, None, rng=kS)["params"]
+        feats = self._encode(pG, A, rng=jax.random.fold_in(kG, 4))
+        pF = self._init_F(kF, feats, kS)
         pR = self.netR.init(kR, A, B)["params"]
         params = {"G": pG, "F": pF, "R": pR}
         if self.netD is None:
@@ -183,24 +193,98 @@ class RegistrationModel:
             return {}
         return {"dropout": rng}
 
+    def _g_kwargs(self, train=True):
+        """Per-family generator kwargs: resnet/unet take a ``train`` flag
+        (dropout); munit (resnet_cat) and stylegan2 have none."""
+        if self._g_family in ("resnet", "unet"):
+            return {"train": train and not self.cfg.no_dropout}
+        return {}
+
+    def _tap_shapes(self):
+        """ShapeDtypeStructs of the tapped NCE activations, by abstract
+        tracing — no compute, works for every netG family."""
+        cfg = self.cfg
+        spatial = (cfg.crop_size,) * cfg.ndims
+        x0 = jnp.zeros((1,) + spatial + (cfg.input_nc,), jnp.float32)
+        kw = self._g_kwargs(train=False)
+
+        def probe(x):
+            out, _ = self.netG.init_with_output(
+                jax.random.PRNGKey(0), x, layers=cfg.nce_layers,
+                encode_only=True, **kw)
+            return out
+
+        return jax.eval_shape(probe, x0)
+
     def _apply_G(self, pG, x, rng=None, train=True):
-        kw = {}
-        if self.cfg.netG.startswith("resnet"):
-            kw["train"] = train and not self.cfg.no_dropout
         out = self.netG.apply({"params": self._cast_params(pG)},
                               x.astype(self._ct()),
-                              rngs=self._g_rngs(rng if train else None), **kw)
+                              rngs=self._g_rngs(rng if train else None),
+                              **self._g_kwargs(train))
         return out.astype(jnp.float32)
 
     def _encode(self, pG, x, rng=None, train=True):
-        kw = {}
-        if self.cfg.netG.startswith("resnet"):
-            kw["train"] = train and not self.cfg.no_dropout
         feats = self.netG.apply(
             {"params": self._cast_params(pG)}, x.astype(self._ct()),
             layers=self.cfg.nce_layers, encode_only=True,
-            rngs=self._g_rngs(rng if train else None), **kw)
+            rngs=self._g_rngs(rng if train else None),
+            **self._g_kwargs(train))
         return [f.astype(jnp.float32) for f in feats]
+
+    def _forward_and_taps(self, pG, x, rng=None, train=True):
+        """One generator pass returning (output, tapped encoder feats) —
+        the reference's separate encode of the *source* images
+        (calculate_NCE_loss's feat_k, registration_model.py:246) recomputes
+        activations the forward pass already produced; tapping them here
+        saves those passes exactly (per-sample ops only, so batch-stacking
+        changes nothing)."""
+        out, feats = self.netG.apply(
+            {"params": self._cast_params(pG)}, x.astype(self._ct()),
+            layers=self.cfg.nce_layers,
+            rngs=self._g_rngs(rng if train else None),
+            **self._g_kwargs(train))
+        return out.astype(jnp.float32), [f.astype(jnp.float32) for f in feats]
+
+    # ----------------------------------------------------------- netF
+    def _init_F(self, key, feats, rng):
+        """Initialize the projection head on real tapped feats (replaces
+        the reference's lazy data_dependent_initialize)."""
+        netF = self.cfg.netF
+        if netF in ("sample", "mlp_sample"):
+            return self.netF.init(
+                key, feats, self.cfg.num_patches, None,
+                rng=rng).get("params", {})
+        if netF == "strided_conv":
+            return self.netF.init(key, feats).get("params", {})
+        # global_pool / reshape are parameterless per-feature modules
+        return self.netF.init(key, feats[0]).get("params", {})
+
+    def _apply_F(self, pF, feats, num_patches, patch_ids, rng=None):
+        """netF protocol adapter: every --netF choice maps a list of
+        tapped feature maps to (list of (B*P, C) L2-normalized patch
+        embeddings, sample_ids).  In the reference only sample/mlp_sample
+        fit the NCE call signature (networks.py:505-572 take a single
+        tensor and crash inside calculate_NCE_loss); here the alternates
+        are adapted: global_pool pools each map to one embedding per image,
+        reshape pools to a 4x4 grid (16 per image), strided_conv projects
+        each map and treats every output location as a patch (its EMA
+        centering is frozen at zero inside the jitted loss)."""
+        netF = self.cfg.netF
+        if netF in ("sample", "mlp_sample"):
+            return self.netF.apply({"params": pF}, feats, num_patches,
+                                   patch_ids, rng=rng)
+        if netF == "strided_conv":
+            outs = self.netF.apply(dict({"params": pF},
+                                        **self._f_extra_vars),
+                                   feats, update_ema=False)
+            return [o.reshape(-1, o.shape[-1]) for o in outs], None
+        if netF == "global_pool":
+            return [self.netF.apply({"params": pF}, f).reshape(
+                f.shape[0], -1) for f in feats], None
+        if netF == "reshape":
+            return [self.netF.apply({"params": pF}, f)
+                    for f in feats], None
+        raise NotImplementedError(f"netF {netF}")
 
     def _nce_from_feats(self, pF, feat_q, feat_k, rng, batch_size,
                         flip_q=None):
@@ -213,10 +297,10 @@ class RegistrationModel:
         if flip_q is not None:
             feat_q = [jnp.where(flip_q, jnp.flip(f, axis=2), f)
                       for f in feat_q]
-        feat_k_pool, ids = self.netF.apply(
-            {"params": pF}, feat_k, cfg.num_patches, None, rng=rng)
-        feat_q_pool, _ = self.netF.apply(
-            {"params": pF}, feat_q, cfg.num_patches, patch_ids=ids)
+        feat_k_pool, ids = self._apply_F(
+            pF, feat_k, cfg.num_patches, None, rng=rng)
+        feat_q_pool, _ = self._apply_F(
+            pF, feat_q, cfg.num_patches, patch_ids=ids)
         total = 0.0
         for f_q, f_k in zip(feat_q_pool, feat_k_pool):
             per_patch = patch_nce_loss(
@@ -227,10 +311,18 @@ class RegistrationModel:
             total = total + jnp.mean(per_patch) * cfg.lambda_NCE
         return total / len(cfg.nce_layers)
 
+    def _step_keys(self, rng):
+        """One derivation shared by _loss_fn and the GAN phase-1 D update,
+        so both phases see the SAME flip coin and dropout masks (the
+        reference computes fake_B once in forward() and reuses it for both
+        compute_D_loss and compute_G_loss)."""
+        kF1, kF2, kF3, kFlip, kDrop = jax.random.split(rng, 5)
+        return (kF1, kF2, kF3), kFlip, kDrop
+
     def _loss_fn(self, params, real_A, real_B, rng, d_params=None):
         cfg = self.cfg
         B = real_A.shape[0]
-        kF1, kF2, kF3, kFlip, kDrop = jax.random.split(rng, 5)
+        (kF1, kF2, kF3), kFlip, kDrop = self._step_keys(rng)
 
         # forward() (registration_model.py:185-196); FastCUT flip
         # equivariance flips the generator input along W with p=0.5 (:188-190)
@@ -239,7 +331,20 @@ class RegistrationModel:
         if cfg.flip_equivariance:
             flipped = jax.random.bernoulli(kFlip)
             real = jnp.where(flipped, jnp.flip(real, axis=2), real)
-        fake = self._apply_G(params["G"], real, rng=kDrop)
+
+        # With flip equivariance the key images (unflipped real_A/real_B)
+        # differ from the generator's (flipped) input, so forward taps
+        # cannot stand in for the key encodes; fall back to the stacked
+        # re-encode path.  Dropout note: reusing forward taps draws the key
+        # activations under the forward pass's dropout masks instead of a
+        # fresh encode's — same distribution, fewer passes.
+        reuse_taps = cfg.fuse_nce_encodes and not cfg.flip_equivariance
+        feats_fwd = None
+        if reuse_taps:
+            fake, feats_fwd = self._forward_and_taps(params["G"], real,
+                                                     rng=kDrop)
+        else:
+            fake = self._apply_G(params["G"], real, rng=kDrop)
         fake_B = fake[:B]
         idt_B = fake[B:]
 
@@ -248,8 +353,28 @@ class RegistrationModel:
             {"params": self._cast_params(params["R"])}, real_A, real_B)
         registered = warp(fake_B, pos_flow)
 
-        # --- NCE losses.  Encoder passes fused into one batched apply.
-        if cfg.fuse_nce_encodes:
+        # --- NCE losses.
+        use_idt = cfg.nce_idt and cfg.lambda_NCE > 0
+        if reuse_taps:
+            # Keys come from the forward taps; only the three query images
+            # (fake_B [, idt_B], y_source) need an encoder pass, batched
+            # into one apply.
+            feats_A = [f[:B] for f in feats_fwd]
+            feats_B = [f[B:] for f in feats_fwd]
+            q_imgs = [fake_B] + ([idt_B] if use_idt else []) + [y_source]
+            q_feats = self._encode(params["G"],
+                                   jnp.concatenate(q_imgs, axis=0),
+                                   rng=jax.random.fold_in(kDrop, 1))
+            q_chunks = [[f[i * B:(i + 1) * B] for f in q_feats]
+                        for i in range(len(q_imgs))]
+            k_chunks = [feats_A] + ([feats_B] if use_idt else []) + [feats_B]
+            keys = [kF1, kF2, kF3] if use_idt else [kF1, kF3]
+            nce_vals = [
+                self._nce_from_feats(params["F"], q, k, key, B,
+                                     flip_q=flipped)
+                for q, k, key in zip(q_chunks, k_chunks, keys)
+            ]
+        elif cfg.fuse_nce_encodes:
             pairs = [(fake_B, real_A)]  # (query, key) per NCE call
             if cfg.nce_idt and cfg.lambda_NCE > 0:
                 pairs.append((idt_B, real_B))
@@ -353,10 +478,19 @@ class RegistrationModel:
         pD = state.params["D"]
         opt_gfr, opt_d = state.opt_state
 
-        # --- phase 1: D on detached fakes (compute_D_loss, :198-211)
+        # --- phase 1: D on detached fakes (compute_D_loss, :198-211).
+        # Derive the SAME flip coin + dropout key as _loss_fn so this is
+        # the reference's single forward(): D sees exactly the fake_B that
+        # phase 2's G loss uses (XLA CSEs the duplicated forward).  G runs
+        # in train mode (dropout active), matching the reference, which
+        # never calls netG.eval() inside optimize_parameters.
+        _, kFlip, kDrop = self._step_keys(rng)
         real = jnp.concatenate([real_A, real_B], axis=0)
+        if cfg.flip_equivariance:
+            flipped = jax.random.bernoulli(kFlip)
+            real = jnp.where(flipped, jnp.flip(real, axis=2), real)
         fake_B = jax.lax.stop_gradient(
-            self._apply_G(state.params["G"], real)[:B])
+            self._apply_G(state.params["G"], real, rng=kDrop)[:B])
 
         def d_loss(pd):
             pred_fake = self.netD.apply({"params": pd}, fake_B)

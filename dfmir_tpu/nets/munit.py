@@ -92,6 +92,12 @@ class ContentEncoder(nn.Module):
                  encode_only: bool = False):
         ops = []
         dim = self.dim
+        n_ops = 1 + self.n_downsample + self.n_res
+        if nce_layers and (min(nce_layers) < 0 or max(nce_layers) >= n_ops):
+            raise ValueError(
+                f"nce_layers {tuple(nce_layers)} out of range for "
+                f"ContentEncoder ({n_ops} ops); pass e.g. --nce_layers "
+                + ",".join(str(i) for i in range(n_ops)))
         ops.append(Conv2dBlock(dim, 7, 1, 3, self.norm, self.activation,
                                "reflect", name="in_conv"))
         for i in range(self.n_downsample):

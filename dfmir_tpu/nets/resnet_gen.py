@@ -153,6 +153,12 @@ class ResnetGenerator(nn.Module):
         specs = self.specs()
         if -1 in layers:
             layers = tuple(l for l in layers if l != -1) + (len(specs),)
+        bad = [l for l in layers if l < 0 or l > len(specs)]
+        if bad:
+            raise ValueError(
+                f"nce_layers {bad} out of range for this generator "
+                f"({len(specs)} sequential ops); the reference silently "
+                f"drops such taps — here that is a loud error")
         use_bias = self.norm == "instance"
         nf = norm_fn(self.norm)
 

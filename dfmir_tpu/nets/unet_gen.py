@@ -29,7 +29,24 @@ class UnetGenerator(nn.Module):
     init_gain: float = 0.02
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x, layers=(), encode_only: bool = False,
+                 train: bool = True):
+        """Forward; ``layers`` taps encoder activations for PatchNCE.
+
+        The reference UnetGenerator has no feature-tap interface (its
+        forward takes only the input, networks.py:1320-1323, so the
+        reference crashes when ``--netG unet_256`` meets the CUT loss);
+        here tap index i in [0, num_downs) returns the encoder activation
+        after ``down_i`` (post-norm), making the choice trainable
+        end-to-end.  With ``encode_only`` returns only the tapped list;
+        with ``layers`` and not ``encode_only`` returns ``(output, feats)``.
+        """
+        layers = tuple(layers)
+        if layers and (min(layers) < 0 or max(layers) >= self.num_downs):
+            raise ValueError(
+                f"UnetGenerator taps index encoder levels 0..{self.num_downs - 1}; "
+                f"got nce_layers={layers}.  Pass e.g. --nce_layers "
+                + ",".join(str(i) for i in range(0, self.num_downs, 2)))
         nf = norm_fn(self.norm)
         widths = []
         for i in range(self.num_downs):
@@ -38,6 +55,7 @@ class UnetGenerator(nn.Module):
         # ----- encoder: conv(k4 s2 p1); LeakyReLU *before* every conv
         # except the outermost (recursion puts downrelu inside each block)
         skips = []
+        feats = []
         h = x
         for i, w in enumerate(widths):
             if i > 0:
@@ -49,6 +67,10 @@ class UnetGenerator(nn.Module):
             if 0 < i < self.num_downs - 1:
                 h = nf(h)
             skips.append(h)
+            if i in layers:
+                feats.append(h)
+                if encode_only and i == max(layers):
+                    return feats
 
         # ----- decoder: ReLU -> convT(k4 s2 p1) -> norm, concat skips.
         # Middle 8ngf blocks carry Dropout(0.5) when use_dropout.
@@ -61,7 +83,8 @@ class UnetGenerator(nn.Module):
                                    init_gain=self.init_gain,
                                    name=f"up_{i}")(h)
             if i == 0:
-                return jnp.tanh(h)
+                out = jnp.tanh(h)
+                return (out, feats) if layers else out
             h = nf(h)
             is_middle = (i >= 4) and (i < self.num_downs - 1)
             if self.use_dropout and is_middle:

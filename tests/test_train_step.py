@@ -112,6 +112,28 @@ def test_sharded_matches_single_device(model, state, rng):
                                    rtol=1e-4, err_msg=k)
 
 
+def test_sharded_train_step_matches_single_device(model, state, rng):
+    """The actual DataParallel parity check (reference base_model.py:103-107):
+    gradients all-reduced over the data mesh must produce the SAME updated
+    parameters as a single-device step on the full batch."""
+    A, B = batch(rng, b=8)
+    key = jax.random.PRNGKey(7)
+    lr = jnp.float32(2e-4)
+    st_single, _ = model.train_step(state, A, B, key, lr)
+
+    mesh = make_mesh()
+    As, Bs = shard_batch(mesh, (A, B))
+    st_shard, _ = model.train_step(replicate(mesh, state), As, Bs, key, lr)
+
+    flat_s = jax.tree_util.tree_leaves_with_path(st_single.params)
+    flat_m = jax.tree.leaves(st_shard.params)
+    assert len(flat_s) == len(flat_m)
+    for (path, a), b in zip(flat_s, flat_m):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4,
+            err_msg=jax.tree_util.keystr(path))
+
+
 def test_lr_schedule_linear():
     class Opt:
         lr_policy = "linear"
