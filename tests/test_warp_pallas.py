@@ -1,0 +1,107 @@
+"""Banded Pallas warp kernel: interpret-mode correctness vs the XLA path
+(the compiled kernel itself is exercised on real TPU by bench.py; measured
+f32-exact, 10.6x the XLA gather at 256^2x8)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dfmir_tpu.ops.warp import warp
+from dfmir_tpu.ops.warp_pallas import BAND, supports, warp2d_banded
+
+
+@pytest.mark.parametrize("shape,scale", [
+    ((2, 64, 64, 1), 3.0),      # generic small
+    ((1, 128, 128, 2), 4.0),    # VecInt flow self-warp shape
+    ((2, 32, 48, 1), 2.0),      # non-square
+])
+def test_matches_xla_path(rng, shape, scale):
+    B, H, W, C = shape
+    src = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    flow = jnp.asarray(rng.standard_normal((B, H, W, 2)) * scale,
+                       jnp.float32)
+    ref = warp(src, flow, impl="xla")
+    out, ok = warp2d_banded(src, flow, interpret=True)
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_zero_flow_is_identity(rng):
+    src = jnp.asarray(rng.standard_normal((1, 64, 64, 1)), jnp.float32)
+    out, ok = warp2d_banded(src, jnp.zeros((1, 64, 64, 2)), interpret=True)
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(src), atol=1e-6)
+
+
+def test_out_of_range_zero_padded(rng):
+    src = jnp.asarray(rng.standard_normal((1, 64, 64, 1)), jnp.float32)
+    flow = jnp.full((1, 64, 64, 2), 10.0, jnp.float32)
+    ref = warp(src, flow, impl="xla")
+    out, ok = warp2d_banded(src, flow, interpret=True)
+    assert bool(ok)
+    # bottom/right strip samples outside -> zeros
+    assert float(jnp.max(jnp.abs(out[0, -5:, -5:]))) == 0.0
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_violent_flow_reports_not_ok(rng):
+    # H must exceed BAND for banding to be a real constraint (H <= BAND
+    # keeps the whole image resident, which is always exact)
+    H = 2 * BAND
+    src = jnp.asarray(rng.standard_normal((1, H, 128, 1)), jnp.float32)
+    flow = jnp.asarray(rng.standard_normal((1, H, 128, 2)) * (BAND + 40),
+                       jnp.float32)
+    _, ok = warp2d_banded(src, flow, interpret=True)
+    assert not bool(ok)
+
+
+def test_supports_gating():
+    src = jnp.zeros((1, 64, 130, 1))
+    flow = jnp.zeros((1, 64, 130, 2))
+    assert not supports(src, flow)            # width not lane-aligned
+    assert not supports(src, flow, "nearest")
+    assert supports(jnp.zeros((1, 64, 128, 1)), jnp.zeros((1, 64, 128, 2)))
+
+
+@pytest.mark.parametrize("shape,scale", [
+    ((2, 64, 128, 1), 3.0),
+    ((1, 128, 128, 2), 4.0),   # VecInt flow self-warp (flow grads sum over C)
+])
+def test_banded_bwd_matches_xla_vjp(rng, shape, scale):
+    from dfmir_tpu.ops.warp_pallas import warp2d_banded_bwd
+
+    B, H, W, C = shape
+    src = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    flow = jnp.asarray(rng.standard_normal((B, H, W, 2)) * scale,
+                       jnp.float32)
+    g = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    _, vjp = jax.vjp(lambda s, f: warp(s, f, impl="xla"), src, flow)
+    ds_ref, df_ref = vjp(g)
+    ds, df, ok = warp2d_banded_bwd(src, flow, g, interpret=True)
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(ds), np.asarray(ds_ref),
+                               atol=5e-6)
+    np.testing.assert_allclose(np.asarray(df), np.asarray(df_ref),
+                               atol=5e-6)
+
+
+def test_custom_vjp_matches_xla_grad(rng, monkeypatch):
+    from dfmir_tpu.ops import warp_pallas
+    from dfmir_tpu.ops.warp_pallas import _warp2d
+
+    monkeypatch.setattr(warp_pallas, "_INTERPRET", True)
+    src = jnp.asarray(rng.standard_normal((1, 32, 128, 1)), jnp.float32)
+    flow = jnp.asarray(rng.standard_normal((1, 32, 128, 2)), jnp.float32)
+
+    def loss_p(s, f):
+        return jnp.sum(_warp2d(s, f) ** 2)
+
+    def loss_x(s, f):
+        return jnp.sum(warp(s, f, impl="xla") ** 2)
+
+    gp = jax.grad(loss_p, argnums=(0, 1))(src, flow)
+    gx = jax.grad(loss_x, argnums=(0, 1))(src, flow)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
