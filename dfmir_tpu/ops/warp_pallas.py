@@ -170,13 +170,174 @@ def warp2d_banded(src, flow, interpret: bool = False):
     return out.astype(src.dtype), ok
 
 
+BZ = 16        # 3-D: source z-slices resident per tile
+BY = 32        # 3-D: source y-rows resident per tile
+
+
+def _kernel3d(C, D, H, W, Wp, bz, by, y_lo_ref, z_lo_ref, zs_ref, ys_ref,
+              xs_ref, src_ref, out_ref, band, sem):
+    """Trilinear banded kernel: the (z, y) corner pairs fold into ONE
+    weighted one-hot selection matrix over the flattened (BZ*BY) band
+    rows; x-corners reduce on the VPU as in 2-D."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bc = pl.program_id(0)
+    j = pl.program_id(1)
+    z_lo = z_lo_ref[bc // C, j]
+    y_lo = pl.multiple_of(y_lo_ref[bc // C, j], 8)
+
+    copy = pltpu.make_async_copy(
+        src_ref.at[bc, pl.ds(z_lo, bz), pl.ds(y_lo, by)], band, sem)
+    copy.start()
+    copy.wait()
+
+    iota_band = jax.lax.broadcasted_iota(jnp.int32, (bz * by, Wp), 0)
+    iota_src = jax.lax.broadcasted_iota(jnp.int32, (Wp, Wp), 0)
+    fD = jnp.float32(D)
+    fH = jnp.float32(H)
+    fW = jnp.float32(W)
+
+    def row(r, _):
+        zs = jnp.clip(zs_ref[0, pl.ds(r, 1), :], -2.0, fD + 1.0)
+        ys = jnp.clip(ys_ref[0, pl.ds(r, 1), :], -2.0, fH + 1.0)
+        xs = jnp.clip(xs_ref[0, pl.ds(r, 1), :], -2.0, fW + 1.0)
+        z0f = jnp.floor(zs)
+        y0f = jnp.floor(ys)
+        x0f = jnp.floor(xs)
+        wz = zs - z0f
+        wy = ys - y0f
+        wx = xs - x0f
+
+        def corner(f, limit):
+            idx = f.astype(jnp.int32)
+            valid = ((idx >= 0) & (idx <= limit - 1)).astype(jnp.float32)
+            return valid, jnp.clip(idx, 0, limit - 1)
+
+        vz0, z0c = corner(z0f, D)
+        vz1, z1c = corner(z0f + 1, D)
+        vy0, y0c = corner(y0f, H)
+        vy1, y1c = corner(y0f + 1, H)
+        vx0, x0c = corner(x0f, W)
+        vx1, x1c = corner(x0f + 1, W)
+
+        rz0 = z0c - z_lo
+        rz1 = z1c - z_lo
+        ry0 = y0c - y_lo
+        ry1 = y1c - y_lo
+        M = (
+            jnp.where(iota_band == rz0 * by + ry0,
+                      (1.0 - wz) * vz0 * (1.0 - wy) * vy0, 0.0)
+            + jnp.where(iota_band == rz0 * by + ry1,
+                        (1.0 - wz) * vz0 * wy * vy1, 0.0)
+            + jnp.where(iota_band == rz1 * by + ry0,
+                        wz * vz1 * (1.0 - wy) * vy0, 0.0)
+            + jnp.where(iota_band == rz1 * by + ry1,
+                        wz * vz1 * wy * vy1, 0.0)
+        )
+        bandflat = band[...].reshape(bz * by, Wp)
+        R = jax.lax.dot_general(
+            bandflat, M, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        OHx = (jnp.where(iota_src == x0c, (1.0 - wx) * vx0, 0.0)
+               + jnp.where(iota_src == x1c, wx * vx1, 0.0))
+        out_ref[0, pl.ds(r, 1), :] = jnp.sum(R * OHx, axis=0, keepdims=True)
+        return 0
+
+    jax.lax.fori_loop(0, TILE, row, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def warp3d_banded(src, flow, interpret: bool = False):
+    """Banded Pallas trilinear warp, 3-D NDHWC.  Returns (out, ok)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, D, H, W, C = src.shape
+    assert flow.shape == (B, D, H, W, 3), (src.shape, flow.shape)
+    assert H % TILE == 0
+    Wp = -(-W // 128) * 128
+    bz = min(BZ, D)
+    by = min(BY, H)
+
+    zs = (jax.lax.broadcasted_iota(jnp.float32, (D, H, W), 0)[None]
+          + flow[..., 0])
+    ys = (jax.lax.broadcasted_iota(jnp.float32, (D, H, W), 1)[None]
+          + flow[..., 1])
+    xs = (jax.lax.broadcasted_iota(jnp.float32, (D, H, W), 2)[None]
+          + flow[..., 2])
+
+    n_t = D * H // TILE
+    zs_c = jnp.clip(zs, -2.0, jnp.float32(D + 1))
+    ys_c = jnp.clip(ys, -2.0, jnp.float32(H + 1))
+    z0c = jnp.clip(jnp.floor(zs_c).astype(jnp.int32), 0, D - 1)
+    y0c = jnp.clip(jnp.floor(ys_c).astype(jnp.int32), 0, H - 1)
+    z1c = jnp.clip(z0c + 1, 0, D - 1)
+    y1c = jnp.clip(y0c + 1, 0, H - 1)
+
+    def tile_minmax(a):
+        return a.reshape(B, n_t, TILE * W)
+
+    z_lo = jnp.clip(jnp.min(tile_minmax(z0c), -1), 0, max(D - bz, 0))
+    y_lo = (jnp.clip(jnp.min(tile_minmax(y0c), -1), 0, max(H - by, 0))
+            // 8) * 8
+    ok = (jnp.all(jnp.max(tile_minmax(z1c), -1) - z_lo <= bz - 1)
+          & jnp.all(jnp.max(tile_minmax(y1c), -1) - y_lo <= by - 1))
+
+    pad = [(0, 0), (0, 0), (0, 0), (0, Wp - W)]
+    src_t = jnp.moveaxis(src, -1, 1).reshape(B * C, D, H, W)
+    src_t = jnp.pad(src_t, [(0, 0), (0, 0), (0, 0), (0, Wp - W)])
+    # coords in the lane-pad region: edge values (keep band mins honest,
+    # outputs there are sliced away)
+    def pad_c(a):
+        return jnp.pad(a.reshape(B, D * H, W), [(0, 0), (0, 0), (0, Wp - W)],
+                       mode="edge")
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B * C, n_t),
+        in_specs=[
+            pl.BlockSpec((1, TILE, Wp),
+                         lambda bc, j, ylo, zlo: (bc // C, j, 0)),
+            pl.BlockSpec((1, TILE, Wp),
+                         lambda bc, j, ylo, zlo: (bc // C, j, 0)),
+            pl.BlockSpec((1, TILE, Wp),
+                         lambda bc, j, ylo, zlo: (bc // C, j, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, TILE, Wp),
+                               lambda bc, j, ylo, zlo: (bc, j, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((bz, by, Wp), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out_t = pl.pallas_call(
+        functools.partial(_kernel3d, C, D, H, W, Wp, bz, by),
+        out_shape=jax.ShapeDtypeStruct((B * C, D * H, Wp), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(y_lo, z_lo, pad_c(zs), pad_c(ys), pad_c(xs), src_t)
+    out = out_t[:, :, :W].reshape(B, C, D, H, W)
+    return jnp.moveaxis(out, 1, -1).astype(src.dtype), ok
+
+
 def supports(src, flow, mode="bilinear"):
-    """Shapes the compiled kernel accepts: 2-D bilinear, lane-aligned width
-    (Mosaic requires DMA slices 128-aligned on the lane axis), row-tileable
-    height."""
-    return (mode == "bilinear" and flow.ndim == 4 and flow.shape[-1] == 2
-            and src.shape[:3] == flow.shape[:3]
-            and src.shape[2] % 128 == 0 and src.shape[1] % TILE == 0)
+    """Shapes the compiled kernels accept.
+
+    2-D bilinear: lane-aligned width (Mosaic requires DMA slices
+    128-aligned on the lane axis), row-tileable height.  3-D trilinear:
+    any width (padded to a lane multiple internally), row-tileable H."""
+    if mode not in ("bilinear", "trilinear"):
+        return False
+    if (flow.ndim == 4 and flow.shape[-1] == 2
+            and src.shape[:3] == flow.shape[:3]):
+        return src.shape[2] % 128 == 0 and src.shape[1] % TILE == 0
+    if (flow.ndim == 5 and flow.shape[-1] == 3
+            and src.shape[:4] == flow.shape[:4]):
+        return src.shape[2] % TILE == 0
+    return False
 
 
 def _bwd_kernel(C, H, W, band_h, y_lo_ref, ys_ref, xs_ref, g_ref, src_ref,
@@ -403,10 +564,42 @@ def _warp2d_bwd(res, g):
 _warp2d.defvjp(_warp2d_fwd, _warp2d_bwd)
 
 
+@jax.custom_vjp
+def _warp3d(src, flow):
+    from dfmir_tpu.ops.warp import warp
+
+    out, ok = warp3d_banded(src.astype(jnp.float32),
+                            flow.astype(jnp.float32),
+                            interpret=_INTERPRET)
+    return jax.lax.cond(
+        ok, lambda: out,
+        lambda: warp(src, flow, mode="bilinear",
+                     impl="xla").astype(jnp.float32),
+    ).astype(src.dtype)
+
+
+def _warp3d_fwd(src, flow):
+    return _warp3d(src, flow), (src, flow)
+
+
+def _warp3d_bwd(res, g):
+    from dfmir_tpu.ops.warp import warp
+
+    src, flow = res
+    _, vjp = jax.vjp(
+        lambda s, f: warp(s, f, mode="bilinear", impl="xla"), src, flow)
+    return vjp(g.astype(src.dtype))
+
+
+_warp3d.defvjp(_warp3d_fwd, _warp3d_bwd)
+
+
 def warp_pallas(src, flow, mode="bilinear"):
     """Dispatch: banded Pallas kernel with runtime XLA fallback."""
     from dfmir_tpu.ops.warp import warp
 
     if not supports(src, flow, mode):
         return warp(src, flow, mode=mode, impl="xla")
+    if flow.shape[-1] == 3:
+        return _warp3d(src, flow)
     return _warp2d(src, flow)

@@ -111,6 +111,33 @@ class TestVxmEngine3D:
         np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+    def test_spatially_sharded_train_step_matches_single(self):
+        """VERDICT round-1 item 6: the spatially-sharded 3-D TRAIN step —
+        XLA inserts halo exchanges for the convs and all-reduces the
+        gradients; updated params must equal the single-device step."""
+        from dfmir_tpu.parallel import make_mesh, replicate, shard_batch
+
+        eng = VxmEngine(VxmConfig(ndims=3, vol_size=16, enc=(4, 8),
+                                  dec=(8, 4, 4), int_steps=3,
+                                  image_loss="mse", batch_size=2))
+        state = eng.init_state(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(2)
+        A = jnp.asarray(rng.random((2, 16, 16, 16, 1)), jnp.float32)
+        B = jnp.asarray(rng.random((2, 16, 16, 16, 1)), jnp.float32)
+        st_single, _ = eng.train_step(state, A, B)
+
+        mesh = make_mesh(n_data=2, n_spatial=4)
+        As, Bs = shard_batch(mesh, (A, B), ndims=3, shard_spatial=True)
+        st_shard, _ = eng.train_step(replicate(mesh, state), As, Bs)
+
+        for (path, a), b in zip(
+                jax.tree_util.tree_leaves_with_path(st_single.params),
+                jax.tree.leaves(st_shard.params)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4,
+                err_msg=jax.tree_util.keystr(path))
+
+
 class TestVolumeDataset:
     def _mk(self, tmp_path, n=2, size=24):
         rng = np.random.default_rng(0)

@@ -66,6 +66,33 @@ def test_supports_gating():
 
 
 @pytest.mark.parametrize("shape,scale", [
+    ((1, 24, 24, 24, 1), 2.0),
+    ((1, 16, 32, 40, 2), 1.5),   # non-cubic, multi-channel, lane-padded
+])
+def test_3d_matches_xla_path(rng, shape, scale):
+    from dfmir_tpu.ops.warp_pallas import warp3d_banded
+
+    B, D, H, W, C = shape
+    src = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    flow = jnp.asarray(rng.standard_normal((B, D, H, W, 3)) * scale,
+                       jnp.float32)
+    ref = warp(src, flow, impl="xla")
+    out, ok = warp3d_banded(src, flow, interpret=True)
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_3d_violent_flow_reports_not_ok(rng):
+    from dfmir_tpu.ops.warp_pallas import warp3d_banded
+
+    src = jnp.asarray(rng.standard_normal((1, 40, 40, 40, 1)), jnp.float32)
+    flow = jnp.asarray(rng.standard_normal((1, 40, 40, 40, 3)) * 25.0,
+                       jnp.float32)
+    _, ok = warp3d_banded(src, flow, interpret=True)
+    assert not bool(ok)
+
+
+@pytest.mark.parametrize("shape,scale", [
     ((2, 64, 128, 1), 3.0),
     ((1, 128, 128, 2), 4.0),   # VecInt flow self-warp (flow grads sum over C)
 ])
