@@ -1,10 +1,14 @@
 """Training observability: console + loss_log.txt + metrics JSONL + HTML
 gallery (capability of /root/reference/util/visualizer.py:15-242).
 
-TPU-first deltas: no visdom server — the line-plot stream becomes an
+TPU-first deltas: no visdom dependency — the line-plot stream becomes an
 append-only ``loss_history.jsonl`` (one JSON record per print event, easy to
-plot offline), and the image grid goes to the HTML gallery only.  The
-compute/data timing split of the reference's console line is kept.
+plot offline), and the image grid goes to the HTML gallery.  The "watch
+training live" capability (reference's visdom plots/grids,
+util/visualizer.py:99-223) is a built-in zero-dependency HTTP dashboard
+(``dfmir_tpu/utils/plot_server.py``) enabled with ``--display_id 1``,
+serving on ``--display_port``.  The compute/data timing split of the
+reference's console line is kept.
 """
 
 from __future__ import annotations
@@ -59,6 +63,15 @@ class Visualizer:
             mkdirs([self.web_dir, self.img_dir])
         self.log_name = os.path.join(expr_dir, "loss_log.txt")
         self.jsonl_name = os.path.join(expr_dir, "loss_history.jsonl")
+        self.plot_server = None
+        display_id = getattr(opt, "display_id", None)
+        if display_id is not None and display_id > 0:
+            from dfmir_tpu.utils.plot_server import start_plot_server
+
+            self.plot_server = start_plot_server(
+                expr_dir, opt.name,
+                port=getattr(opt, "display_port", 8097),
+                winsize=self.win_size)
         with open(self.log_name, "a") as f:
             now = time.strftime("%c")
             f.write(

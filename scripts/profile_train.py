@@ -1,0 +1,124 @@
+"""Attribute the joint train step's time (VERDICT item: profile the
+57 ms/pair) by chained-timing each stage of the step separately on the
+real chip — the tunnel makes jax.profiler traces unreliable, so this is
+the measurement of record.
+
+Stages (batch 8, 256^2, f32 unless --dtype):
+  train_step   full jitted update (fwd + bwd + Adam)
+  loss_fwd     _loss_fn value only (no grad)  -> bwd = train_step - loss_fwd
+  netG_fwd     generator on cat(A,B) (2B images) + taps
+  encode_q     encode-only pass on the 3B NCE query images
+  netR_fwd     VxmDense fwd (unet + flow head + vecint + warps)
+
+Prints one JSON dict of ms/step (batch) and derived ms/pair.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--stages", default="train_step,loss_fwd,netG_fwd,"
+                    "encode_q,netR_fwd")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bench import _measure_chained
+    from dfmir_tpu.engine import RegistrationConfig, RegistrationModel
+
+    cfg = RegistrationConfig(crop_size=args.size, batch_size=args.batch,
+                             compute_dtype=args.dtype)
+    model = RegistrationModel(cfg)
+    state = model.init_state(jax.random.PRNGKey(0), batch_size=args.batch)
+    rng = np.random.default_rng(0)
+    shape = (args.batch, args.size, args.size, 1)
+    A = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    B = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    key = jax.random.PRNGKey(1)
+
+    def chain_imgs(out_list, a):
+        """Feed a scalar function of every output back into the carry."""
+        upd = 0.0
+        for o in out_list:
+            upd = upd + jnp.sum(o[(0,) * o.ndim]) * 1e-6
+        return a + upd
+
+    stages = {}
+
+    def stage_train_step():
+        def step(carry):
+            st, a = carry
+            new_st, _ = model.train_step(st, a, B, key, jnp.float32(2e-4))
+            return new_st, a
+        return step, (state, A)
+
+    def stage_loss_fwd():
+        def step(carry):
+            (a,) = carry
+            total, (metrics, aux) = model._loss_fn(state.params, a, B, key)
+            return (a + total * 1e-6,)
+        return step, (A,)
+
+    def stage_netG_fwd():
+        real = jnp.concatenate([A, B], axis=0)
+
+        def step(carry):
+            (x,) = carry
+            fake, feats = model._forward_and_taps(state.params["G"], x)
+            return (chain_imgs([fake] + list(feats), x),)
+        return step, (real,)
+
+    def stage_encode_q():
+        q = jnp.concatenate([A, B, A], axis=0)  # 3B query images
+
+        def step(carry):
+            (x,) = carry
+            feats = model._encode(state.params["G"], x)
+            return (chain_imgs(list(feats), x),)
+        return step, (q,)
+
+    def stage_netR_fwd():
+        def step(carry):
+            (a,) = carry
+            y_source, y_target, pos_flow = model.netR.apply(
+                {"params": model._cast_params(state.params["R"])}, a, B)
+            return (chain_imgs([y_source, y_target, pos_flow], a),)
+        return step, (A,)
+
+    builders = {
+        "train_step": stage_train_step, "loss_fwd": stage_loss_fwd,
+        "netG_fwd": stage_netG_fwd, "encode_q": stage_encode_q,
+        "netR_fwd": stage_netR_fwd,
+    }
+    out = {}
+    for name in args.stages.split(","):
+        step, carry = builders[name]()
+        sec = _measure_chained(step, carry, 12)
+        out[name + "_ms"] = round(sec * 1e3, 2)
+        print(f"# {name}: {sec * 1e3:.2f} ms/step", file=sys.stderr)
+
+    if "train_step_ms" in out and "loss_fwd_ms" in out:
+        out["bwd_plus_adam_ms"] = round(
+            out["train_step_ms"] - out["loss_fwd_ms"], 2)
+    out["batch"] = args.batch
+    if "train_step_ms" in out:
+        out["train_pairs_per_sec"] = round(
+            args.batch / (out["train_step_ms"] / 1e3), 2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
