@@ -78,17 +78,36 @@ def _measure_chained(step_fn, init_carry, iters):
 
 def _bench_warp3d(args):
     """3-D trilinear warp kernel latency on a 160^3 volume (BASELINE.md
-    metric: '3D warp kernel ms')."""
+    metric: '3D warp kernel ms').
+
+    The flow is a SMOOTH random deformation (low-res noise trilinearly
+    upsampled, ~5-voxel displacements) — representative of the dense
+    registration fields this op actually warps with (VecInt outputs are
+    smooth by construction).  An iid-noise flow is not a registration
+    field and structurally defeats any locality-exploiting implementation
+    (it forces the banded Pallas kernel's runtime fallback), so it would
+    benchmark the fallback, not the kernel.  The JSON reports which path
+    engaged (``pallas_ok``)."""
     import jax.numpy as jnp
     import numpy as np
 
     from dfmir_tpu.ops import warp
+    from dfmir_tpu.ops.integrate import resize_linear
 
     rng = np.random.default_rng(0)
     S = args.size if args.size != 256 else 160
     src = jnp.asarray(rng.standard_normal((1, S, S, S, 1)), jnp.float32)
-    flow = jnp.asarray(rng.standard_normal((1, S, S, S, 3)) * 2.0,
-                       jnp.float32)
+    lo = rng.standard_normal((1, S // 16, S // 16, S // 16, 3)) * 5.0
+    flow = resize_linear(jnp.asarray(lo, jnp.float32), (S, S, S))
+
+    pallas_ok = None
+    try:
+        from dfmir_tpu.ops import warp_pallas
+        if warp_pallas.supports(src, flow, "bilinear"):
+            _, ok = warp_pallas.warp3d_banded(src, flow)
+            pallas_ok = bool(ok)
+    except Exception:
+        pallas_ok = False
 
     def step(carry):
         s, f = carry
@@ -97,7 +116,8 @@ def _bench_warp3d(args):
 
     sec = _measure_chained(step, (src, flow), args.iters)
     return {"metric": f"warp3d_{S}cube_trilinear_ms",
-            "value": round(sec * 1e3, 3), "unit": "ms", "vs_baseline": None}
+            "value": round(sec * 1e3, 3), "unit": "ms", "vs_baseline": None,
+            "extra": {"pallas_ok": pallas_ok}}
 
 
 def main() -> None:

@@ -60,54 +60,53 @@ def _kernel(C, H, W, band_h, y_lo_ref, ys_ref, xs_ref, src_ref, out_ref,
     copy.start()
     copy.wait()
 
-    iota_band = jax.lax.broadcasted_iota(jnp.int32, (band_h, W), 0)
-    iota_src = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
+    # All TILE output rows fold into ONE selection matmul: their weighted
+    # one-hot columns concatenate along the lane axis (column t*W+p is
+    # output pixel (t, p)), so the MXU sees a single
+    # (W x band_h) @ (band_h x TILE*W) contraction per tile instead of
+    # TILE serial K=band_h slivers.
+    TW = TILE * W
+    iota_band = jax.lax.broadcasted_iota(jnp.int32, (band_h, TW), 0)
+    iota_src = jax.lax.broadcasted_iota(jnp.int32, (W, TW), 0)
     fH = jnp.float32(H)
     fW = jnp.float32(W)
 
-    def row(r, _):
-        ys = ys_ref[0, pl.ds(r, 1), :]          # (1, W) absolute y coords
-        xs = xs_ref[0, pl.ds(r, 1), :]
-        ys = jnp.clip(ys, -2.0, fH + 1.0)       # guard int overflow
-        xs = jnp.clip(xs, -2.0, fW + 1.0)
-        y0f = jnp.floor(ys)
-        x0f = jnp.floor(xs)
-        wy = ys - y0f
-        wx = xs - x0f
-        y0 = y0f.astype(jnp.int32)
-        x0 = x0f.astype(jnp.int32)
+    ys = jnp.clip(ys_ref[0], -2.0, fH + 1.0)   # (1, TW); int-ovf guard
+    xs = jnp.clip(xs_ref[0], -2.0, fW + 1.0)
+    y0f = jnp.floor(ys)
+    x0f = jnp.floor(xs)
+    wy = ys - y0f
+    wx = xs - x0f
+    y0 = y0f.astype(jnp.int32)
+    x0 = x0f.astype(jnp.int32)
 
-        def sel_w(idx, limit, w):
-            valid = (idx >= 0) & (idx <= limit - 1)
-            return jnp.where(valid, w, 0.0), jnp.clip(idx, 0, limit - 1)
+    def sel_w(idx, limit, w):
+        valid = (idx >= 0) & (idx <= limit - 1)
+        return jnp.where(valid, w, 0.0), jnp.clip(idx, 0, limit - 1)
 
-        w_y0, y0c = sel_w(y0, H, 1.0 - wy)
-        w_y1, y1c = sel_w(y0 + 1, H, wy)
-        w_x0, x0c = sel_w(x0, W, 1.0 - wx)
-        w_x1, x1c = sel_w(x0 + 1, W, wx)
+    w_y0, y0c = sel_w(y0, H, 1.0 - wy)
+    w_y1, y1c = sel_w(y0 + 1, H, wy)
+    w_x0, x0c = sel_w(x0, W, 1.0 - wx)
+    w_x1, x1c = sel_w(x0 + 1, W, wx)
 
-        rel0 = y0c - y_lo                       # (1, W) in [0, band_h)
-        rel1 = y1c - y_lo
-        # (band_h, W) weighted one-hot row-selection matrix (both y corners)
-        M = (jnp.where(iota_band == rel0, w_y0, 0.0)
-             + jnp.where(iota_band == rel1, w_y1, 0.0))
-        # R[c, p] = sum_r band[r, c] * M[r, p]  — MXU, K = band_h.
-        # HIGHEST precision: the MXU's native bf16 pass rounds the band
-        # data to ~4e-3 relative error (measured 1e-2 max on N(0,1)
-        # images), far over the 1e-3 parity bar; the multi-pass f32
-        # emulation restores exactness and the extra passes are noise at
-        # this K.
-        R = jax.lax.dot_general(
-            band[...], M, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-        # weighted x-corner mask, then sublane reduce
-        OHx = (jnp.where(iota_src == x0c, w_x0, 0.0)
-               + jnp.where(iota_src == x1c, w_x1, 0.0))
-        out_ref[0, pl.ds(r, 1), :] = jnp.sum(R * OHx, axis=0, keepdims=True)
-        return 0
-
-    jax.lax.fori_loop(0, TILE, row, 0)
+    rel0 = y0c - y_lo                       # (1, TW) in [0, band_h)
+    rel1 = y1c - y_lo
+    # (band_h, TW) weighted one-hot row-selection matrix (both y corners)
+    M = (jnp.where(iota_band == rel0, w_y0, 0.0)
+         + jnp.where(iota_band == rel1, w_y1, 0.0))
+    # R[c, tp] = sum_r band[r, c] * M[r, tp]  — MXU, K = band_h.
+    # HIGHEST precision: the MXU's native bf16 pass rounds the band
+    # data to ~4e-3 relative error (measured 1e-2 max on N(0,1)
+    # images), far over the 1e-3 parity bar; the multi-pass f32
+    # emulation restores exactness.
+    R = jax.lax.dot_general(
+        band[...], M, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    # weighted x-corner mask, then sublane reduce
+    OHx = (jnp.where(iota_src == x0c, w_x0, 0.0)
+           + jnp.where(iota_src == x1c, w_x1, 0.0))
+    out_ref[0] = jnp.sum(R * OHx, axis=0, keepdims=True)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -145,16 +144,21 @@ def warp2d_banded(src, flow, interpret: bool = False):
 
     # channels become independent images: (B, H, W, C) -> (B*C, H, W)
     src_t = jnp.moveaxis(src, -1, 1).reshape(B * C, H, W)
+    # coords pre-flattened per tile (host-side reshape is free) so the
+    # kernel sees every output pixel of a tile along the lane axis
+    TW = TILE * W
+    ys_t = ys.reshape(B, n_t, TW)
+    xs_t = xs.reshape(B, n_t, TW)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B * C, n_t),
         in_specs=[
-            pl.BlockSpec((1, TILE, W), lambda bc, j, ylo: (bc // C, j, 0)),
-            pl.BlockSpec((1, TILE, W), lambda bc, j, ylo: (bc // C, j, 0)),
+            pl.BlockSpec((1, 1, TW), lambda bc, j, ylo: (bc // C, j, 0)),
+            pl.BlockSpec((1, 1, TW), lambda bc, j, ylo: (bc // C, j, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((1, TILE, W), lambda bc, j, ylo: (bc, j, 0)),
+        out_specs=pl.BlockSpec((1, 1, TW), lambda bc, j, ylo: (bc, j, 0)),
         scratch_shapes=[
             pltpu.VMEM((band_h, W), jnp.float32),
             pltpu.SemaphoreType.DMA,
@@ -162,10 +166,10 @@ def warp2d_banded(src, flow, interpret: bool = False):
     )
     out_t = pl.pallas_call(
         functools.partial(_kernel, C, H, W, band_h),
-        out_shape=jax.ShapeDtypeStruct((B * C, H, W), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B * C, n_t, TW), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(y_lo, ys, xs, src_t)
+    )(y_lo, ys_t, xs_t, src_t)
     out = jnp.moveaxis(out_t.reshape(B, C, H, W), 1, -1)
     return out.astype(src.dtype), ok
 
@@ -341,15 +345,17 @@ def supports(src, flow, mode="bilinear"):
 
 
 def _bwd_kernel(C, H, W, band_h, y_lo_ref, ys_ref, xs_ref, g_ref, src_ref,
-                dband_ref, dfy_ref, dfx_ref, band, acc, sem):
+                dband_ref, dfy_ref, dfx_ref, band, sem):
     """Banded backward: per (image, row-tile) computes the flow gradient
     rows and this tile's contribution to d(src) over its band (scattered
-    band-wise by the caller).  Same selection algebra as the forward:
+    band-wise by the caller).  Same column-concatenated selection algebra
+    as the forward (tp = t*W + p indexes the tile's output pixels):
 
-      out[p]   = sum_{r,c} Wy[r,p] Wx[c,p] band[r,c]
+      out[tp]  = sum_{r,c} Wy[r,tp] Wx[c,tp] band[r,c]
       dflow_y  = g * sum_c Wx  * (band^T @ My)     My = dWy/dy
       dflow_x  = g * sum_c Wxd * (band^T @ M)      Wxd = dWx/dx
-      dband    = sum_rows M @ (Wx * g)^T  (contract over output pixels)
+      dband    = M @ (Wx * g)^T   (ONE matmul contracting all TILE*W
+                                   output pixels of the tile)
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -362,63 +368,56 @@ def _bwd_kernel(C, H, W, band_h, y_lo_ref, ys_ref, xs_ref, g_ref, src_ref,
         src_ref.at[bc, pl.ds(y_lo, band_h)], band, sem)
     copy.start()
     copy.wait()
-    acc[...] = jnp.zeros((band_h, W), jnp.float32)
 
-    iota_band = jax.lax.broadcasted_iota(jnp.int32, (band_h, W), 0)
-    iota_src = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
+    TW = TILE * W
+    iota_band = jax.lax.broadcasted_iota(jnp.int32, (band_h, TW), 0)
+    iota_src = jax.lax.broadcasted_iota(jnp.int32, (W, TW), 0)
     fH = jnp.float32(H)
     fW = jnp.float32(W)
     hp = jax.lax.Precision.HIGHEST
 
-    def row(r, _):
-        ys = jnp.clip(ys_ref[0, pl.ds(r, 1), :], -2.0, fH + 1.0)
-        xs = jnp.clip(xs_ref[0, pl.ds(r, 1), :], -2.0, fW + 1.0)
-        g = g_ref[0, pl.ds(r, 1), :]
-        y0f = jnp.floor(ys)
-        x0f = jnp.floor(xs)
-        wy = ys - y0f
-        wx = xs - x0f
-        y0 = y0f.astype(jnp.int32)
-        x0 = x0f.astype(jnp.int32)
+    ys = jnp.clip(ys_ref[0], -2.0, fH + 1.0)   # (1, TW)
+    xs = jnp.clip(xs_ref[0], -2.0, fW + 1.0)
+    g = g_ref[0]                                # (1, TW)
+    y0f = jnp.floor(ys)
+    x0f = jnp.floor(xs)
+    wy = ys - y0f
+    wx = xs - x0f
+    y0 = y0f.astype(jnp.int32)
+    x0 = x0f.astype(jnp.int32)
 
-        def corner(idx, limit):
-            valid = ((idx >= 0) & (idx <= limit - 1)).astype(jnp.float32)
-            return valid, jnp.clip(idx, 0, limit - 1)
+    def corner(idx, limit):
+        valid = ((idx >= 0) & (idx <= limit - 1)).astype(jnp.float32)
+        return valid, jnp.clip(idx, 0, limit - 1)
 
-        vy0, y0c = corner(y0, H)
-        vy1, y1c = corner(y0 + 1, H)
-        vx0, x0c = corner(x0, W)
-        vx1, x1c = corner(x0 + 1, W)
-        rel0 = y0c - y_lo
-        rel1 = y1c - y_lo
+    vy0, y0c = corner(y0, H)
+    vy1, y1c = corner(y0 + 1, H)
+    vx0, x0c = corner(x0, W)
+    vx1, x1c = corner(x0 + 1, W)
+    rel0 = y0c - y_lo
+    rel1 = y1c - y_lo
 
-        M = (jnp.where(iota_band == rel0, (1.0 - wy) * vy0, 0.0)
-             + jnp.where(iota_band == rel1, wy * vy1, 0.0))
-        My = (jnp.where(iota_band == rel1, vy1, 0.0)
-              - jnp.where(iota_band == rel0, vy0, 0.0))
-        Wx = (jnp.where(iota_src == x0c, (1.0 - wx) * vx0, 0.0)
-              + jnp.where(iota_src == x1c, wx * vx1, 0.0))
-        Wxd = (jnp.where(iota_src == x1c, vx1, 0.0)
-               - jnp.where(iota_src == x0c, vx0, 0.0))
+    M = (jnp.where(iota_band == rel0, (1.0 - wy) * vy0, 0.0)
+         + jnp.where(iota_band == rel1, wy * vy1, 0.0))
+    My = (jnp.where(iota_band == rel1, vy1, 0.0)
+          - jnp.where(iota_band == rel0, vy0, 0.0))
+    Wx = (jnp.where(iota_src == x0c, (1.0 - wx) * vx0, 0.0)
+          + jnp.where(iota_src == x1c, wx * vx1, 0.0))
+    Wxd = (jnp.where(iota_src == x1c, vx1, 0.0)
+           - jnp.where(iota_src == x0c, vx0, 0.0))
 
-        R = jax.lax.dot_general(band[...], M, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                                precision=hp)
-        Ry = jax.lax.dot_general(band[...], My, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32,
-                                 precision=hp)
-        dfy_ref[0, pl.ds(r, 1), :] = g * jnp.sum(Wx * Ry, axis=0,
-                                                 keepdims=True)
-        dfx_ref[0, pl.ds(r, 1), :] = g * jnp.sum(Wxd * R, axis=0,
-                                                 keepdims=True)
-        G2 = Wx * g  # (W_src, W_out)
-        acc[...] = acc[...] + jax.lax.dot_general(
-            M, G2, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=hp)
-        return 0
-
-    jax.lax.fori_loop(0, TILE, row, 0)
-    dband_ref[0, 0] = acc[...]
+    R = jax.lax.dot_general(band[...], M, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=hp)
+    Ry = jax.lax.dot_general(band[...], My, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=hp)
+    dfy_ref[0] = g * jnp.sum(Wx * Ry, axis=0, keepdims=True)
+    dfx_ref[0] = g * jnp.sum(Wxd * R, axis=0, keepdims=True)
+    G2 = Wx * g  # (W_src, TW)
+    dband_ref[0, 0] = jax.lax.dot_general(
+        M, G2, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=hp)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -445,25 +444,27 @@ def warp2d_banded_bwd(src, flow, g, interpret: bool = False):
     ok = jnp.all(y1_t - y_lo <= band_h - 1)
 
     src_t = jnp.moveaxis(src, -1, 1).reshape(B * C, H, W)
-    g_t = jnp.moveaxis(g.astype(jnp.float32), -1, 1).reshape(B * C, H, W)
+    TW = TILE * W
+    ys_t = ys.reshape(B, n_t, TW)
+    xs_t = xs.reshape(B, n_t, TW)
+    g_t = jnp.moveaxis(g.astype(jnp.float32), -1, 1).reshape(B * C, n_t, TW)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B * C, n_t),
         in_specs=[
-            pl.BlockSpec((1, TILE, W), lambda bc, j, ylo: (bc // C, j, 0)),
-            pl.BlockSpec((1, TILE, W), lambda bc, j, ylo: (bc // C, j, 0)),
-            pl.BlockSpec((1, TILE, W), lambda bc, j, ylo: (bc, j, 0)),
+            pl.BlockSpec((1, 1, TW), lambda bc, j, ylo: (bc // C, j, 0)),
+            pl.BlockSpec((1, 1, TW), lambda bc, j, ylo: (bc // C, j, 0)),
+            pl.BlockSpec((1, 1, TW), lambda bc, j, ylo: (bc, j, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=(
             pl.BlockSpec((1, 1, band_h, W),
                          lambda bc, j, ylo: (bc, j, 0, 0)),
-            pl.BlockSpec((1, TILE, W), lambda bc, j, ylo: (bc, j, 0)),
-            pl.BlockSpec((1, TILE, W), lambda bc, j, ylo: (bc, j, 0)),
+            pl.BlockSpec((1, 1, TW), lambda bc, j, ylo: (bc, j, 0)),
+            pl.BlockSpec((1, 1, TW), lambda bc, j, ylo: (bc, j, 0)),
         ),
         scratch_shapes=[
-            pltpu.VMEM((band_h, W), jnp.float32),
             pltpu.VMEM((band_h, W), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
@@ -472,12 +473,12 @@ def warp2d_banded_bwd(src, flow, g, interpret: bool = False):
         functools.partial(_bwd_kernel, C, H, W, band_h),
         out_shape=(
             jax.ShapeDtypeStruct((B * C, n_t, band_h, W), jnp.float32),
-            jax.ShapeDtypeStruct((B * C, H, W), jnp.float32),
-            jax.ShapeDtypeStruct((B * C, H, W), jnp.float32),
+            jax.ShapeDtypeStruct((B * C, n_t, TW), jnp.float32),
+            jax.ShapeDtypeStruct((B * C, n_t, TW), jnp.float32),
         ),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(y_lo, ys, xs, g_t, src_t)
+    )(y_lo, ys_t, xs_t, g_t, src_t)
 
     # scatter the per-tile band contributions back (block-granular adds)
     y_lo_bc = jnp.repeat(y_lo, C, axis=0)  # (B*C, n_t)
