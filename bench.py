@@ -104,7 +104,10 @@ def _bench_warp3d(args):
     try:
         from dfmir_tpu.ops import warp_pallas
         if warp_pallas.supports(src, flow, "bilinear"):
-            _, ok = warp_pallas.warp3d_banded(src, flow)
+            ok = (warp_pallas._band3d_ok(flow, S, S, warp_pallas.BZ,
+                                         warp_pallas.BY)
+                  | warp_pallas._band3d_ok(flow, S, S, warp_pallas.BZ2,
+                                           warp_pallas.BY2))
             pallas_ok = bool(ok)
     except Exception:
         pallas_ok = False

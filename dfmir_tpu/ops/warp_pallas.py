@@ -45,6 +45,34 @@ AVAILABLE = True
 TILE = 8        # output rows per grid step
 BAND = 64       # source rows resident in VMEM per tile (static)
 
+# Selection-matmul precision.  The MXU's native bf16 single pass rounds the
+# band data to ~4e-3 relative error (measured 1e-2 max on N(0,1) images) —
+# over the 1e-3 parity bar.  Multi-pass emulation restores accuracy.
+# "bf16x3": manual hi/lo split, 3 native passes (ah@bh + ah@bl + al@bh,
+# lo@lo dropped) — ~1e-5 relative, half the MXU work of HIGHEST's 6-pass
+# f32 emulation (Mosaic rejects Precision.HIGH in-kernel, so the split is
+# hand-rolled).  Module-level so experiments can flip it before first trace.
+PRECISION = "bf16x3"
+
+
+def _mxu_dot(a, b, dims):
+    """f32-accurate MXU contraction per the module PRECISION setting."""
+    dn = (dims, ((), ()))
+    if PRECISION != "bf16x3":
+        return jax.lax.dot_general(a, b, dn,
+                                   preferred_element_type=jnp.float32,
+                                   precision=PRECISION)
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    bh = b.astype(jnp.bfloat16)
+    bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def dot(x, y):
+        return jax.lax.dot_general(x, y, dn,
+                                   preferred_element_type=jnp.float32)
+
+    return dot(ah, bh) + dot(ah, bl) + dot(al, bh)
+
 
 def _kernel(C, H, W, band_h, y_lo_ref, ys_ref, xs_ref, src_ref, out_ref,
             band, sem):
@@ -71,8 +99,8 @@ def _kernel(C, H, W, band_h, y_lo_ref, ys_ref, xs_ref, src_ref, out_ref,
     fH = jnp.float32(H)
     fW = jnp.float32(W)
 
-    ys = jnp.clip(ys_ref[0], -2.0, fH + 1.0)   # (1, TW); int-ovf guard
-    xs = jnp.clip(xs_ref[0], -2.0, fW + 1.0)
+    ys = jnp.clip(ys_ref[0, 0], -2.0, fH + 1.0)   # (1, TW); int-ovf guard
+    xs = jnp.clip(xs_ref[0, 0], -2.0, fW + 1.0)
     y0f = jnp.floor(ys)
     x0f = jnp.floor(xs)
     wy = ys - y0f
@@ -94,19 +122,13 @@ def _kernel(C, H, W, band_h, y_lo_ref, ys_ref, xs_ref, src_ref, out_ref,
     # (band_h, TW) weighted one-hot row-selection matrix (both y corners)
     M = (jnp.where(iota_band == rel0, w_y0, 0.0)
          + jnp.where(iota_band == rel1, w_y1, 0.0))
-    # R[c, tp] = sum_r band[r, c] * M[r, tp]  — MXU, K = band_h.
-    # HIGHEST precision: the MXU's native bf16 pass rounds the band
-    # data to ~4e-3 relative error (measured 1e-2 max on N(0,1)
-    # images), far over the 1e-3 parity bar; the multi-pass f32
-    # emulation restores exactness.
-    R = jax.lax.dot_general(
-        band[...], M, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+    # R[c, tp] = sum_r band[r, c] * M[r, tp]  — MXU, K = band_h,
+    # multi-pass emulated (see PRECISION).
+    R = _mxu_dot(band[...], M, ((0,), (0,)))
     # weighted x-corner mask, then sublane reduce
     OHx = (jnp.where(iota_src == x0c, w_x0, 0.0)
            + jnp.where(iota_src == x1c, w_x1, 0.0))
-    out_ref[0] = jnp.sum(R * OHx, axis=0, keepdims=True)
+    out_ref[0, 0] = jnp.sum(R * OHx, axis=0, keepdims=True)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -145,20 +167,23 @@ def warp2d_banded(src, flow, interpret: bool = False):
     # channels become independent images: (B, H, W, C) -> (B*C, H, W)
     src_t = jnp.moveaxis(src, -1, 1).reshape(B * C, H, W)
     # coords pre-flattened per tile (host-side reshape is free) so the
-    # kernel sees every output pixel of a tile along the lane axis
+    # kernel sees every output pixel of a tile along the lane axis; the
+    # explicit singleton sublane axis keeps the block's trailing two dims
+    # equal to the array's (Mosaic requires (8,128)-divisible or full-dim
+    # trailing blocks — a (1, TW) block over an (n_t, TW) array is neither)
     TW = TILE * W
-    ys_t = ys.reshape(B, n_t, TW)
-    xs_t = xs.reshape(B, n_t, TW)
+    ys_t = ys.reshape(B, n_t, 1, TW)
+    xs_t = xs.reshape(B, n_t, 1, TW)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B * C, n_t),
         in_specs=[
-            pl.BlockSpec((1, 1, TW), lambda bc, j, ylo: (bc // C, j, 0)),
-            pl.BlockSpec((1, 1, TW), lambda bc, j, ylo: (bc // C, j, 0)),
+            pl.BlockSpec((1, 1, 1, TW), lambda bc, j, ylo: (bc // C, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, TW), lambda bc, j, ylo: (bc // C, j, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((1, 1, TW), lambda bc, j, ylo: (bc, j, 0)),
+        out_specs=pl.BlockSpec((1, 1, 1, TW), lambda bc, j, ylo: (bc, j, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((band_h, W), jnp.float32),
             pltpu.SemaphoreType.DMA,
@@ -166,7 +191,7 @@ def warp2d_banded(src, flow, interpret: bool = False):
     )
     out_t = pl.pallas_call(
         functools.partial(_kernel, C, H, W, band_h),
-        out_shape=jax.ShapeDtypeStruct((B * C, n_t, TW), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B * C, n_t, 1, TW), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(y_lo, ys_t, xs_t, src_t)
@@ -174,15 +199,20 @@ def warp2d_banded(src, flow, interpret: bool = False):
     return out.astype(src.dtype), ok
 
 
-BZ = 16        # 3-D: source z-slices resident per tile
-BY = 32        # 3-D: source y-rows resident per tile
+BZ = 16        # 3-D: source z-slices resident per tile (small variant)
+BY = 32        # 3-D: source y-rows resident per tile (small variant)
+BZ2 = 32       # big variant — engages on ~±18-voxel smooth flows whose
+BY2 = 48       # long-range variation overflows the small bands
 
 
-def _kernel3d(C, D, H, W, Wp, bz, by, y_lo_ref, z_lo_ref, zs_ref, ys_ref,
-              xs_ref, src_ref, out_ref, band, sem):
+def _kernel3d(C, D, H, W, Wp, bz, by, fold, y_lo_ref, z_lo_ref, zs_ref,
+              ys_ref, xs_ref, src_ref, out_ref, band, sem):
     """Trilinear banded kernel: the (z, y) corner pairs fold into ONE
-    weighted one-hot selection matrix over the flattened (BZ*BY) band
-    rows; x-corners reduce on the VPU as in 2-D."""
+    weighted one-hot selection matrix over the flattened (bz*by) band
+    rows; x-corners reduce on the VPU as in 2-D.  ``fold`` output rows
+    concatenate along the lane axis per selection matmul (the 2-D
+    lane-folding; bounded below TILE only to keep the (bz*by, fold*Wp)
+    selection matrix inside VMEM for the big-band variant)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -196,16 +226,18 @@ def _kernel3d(C, D, H, W, Wp, bz, by, y_lo_ref, z_lo_ref, zs_ref, ys_ref,
     copy.start()
     copy.wait()
 
-    iota_band = jax.lax.broadcasted_iota(jnp.int32, (bz * by, Wp), 0)
-    iota_src = jax.lax.broadcasted_iota(jnp.int32, (Wp, Wp), 0)
+    FW = fold * Wp
+    iota_band = jax.lax.broadcasted_iota(jnp.int32, (bz * by, FW), 0)
+    iota_src = jax.lax.broadcasted_iota(jnp.int32, (Wp, FW), 0)
     fD = jnp.float32(D)
     fH = jnp.float32(H)
     fW = jnp.float32(W)
+    bandflat = band[...].reshape(bz * by, Wp)
 
-    def row(r, _):
-        zs = jnp.clip(zs_ref[0, pl.ds(r, 1), :], -2.0, fD + 1.0)
-        ys = jnp.clip(ys_ref[0, pl.ds(r, 1), :], -2.0, fH + 1.0)
-        xs = jnp.clip(xs_ref[0, pl.ds(r, 1), :], -2.0, fW + 1.0)
+    for t in range(TILE // fold):
+        zs = jnp.clip(zs_ref[0, 0, pl.ds(t, 1), :], -2.0, fD + 1.0)
+        ys = jnp.clip(ys_ref[0, 0, pl.ds(t, 1), :], -2.0, fH + 1.0)
+        xs = jnp.clip(xs_ref[0, 0, pl.ds(t, 1), :], -2.0, fW + 1.0)
         z0f = jnp.floor(zs)
         y0f = jnp.floor(ys)
         x0f = jnp.floor(xs)
@@ -239,31 +271,27 @@ def _kernel3d(C, D, H, W, Wp, bz, by, y_lo_ref, z_lo_ref, zs_ref, ys_ref,
             + jnp.where(iota_band == rz1 * by + ry1,
                         wz * vz1 * wy * vy1, 0.0)
         )
-        bandflat = band[...].reshape(bz * by, Wp)
-        R = jax.lax.dot_general(
-            bandflat, M, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+        R = _mxu_dot(bandflat, M, ((0,), (0,)))
         OHx = (jnp.where(iota_src == x0c, (1.0 - wx) * vx0, 0.0)
                + jnp.where(iota_src == x1c, wx * vx1, 0.0))
-        out_ref[0, pl.ds(r, 1), :] = jnp.sum(R * OHx, axis=0, keepdims=True)
-        return 0
-
-    jax.lax.fori_loop(0, TILE, row, 0)
+        out_ref[0, 0, pl.ds(t, 1), :] = jnp.sum(R * OHx, axis=0,
+                                                keepdims=True)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def warp3d_banded(src, flow, interpret: bool = False):
+@functools.partial(jax.jit,
+                   static_argnames=("bz", "by", "fold", "interpret"))
+def warp3d_banded(src, flow, bz: int = BZ, by: int = BY, fold: int = 4,
+                  interpret: bool = False):
     """Banded Pallas trilinear warp, 3-D NDHWC.  Returns (out, ok)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B, D, H, W, C = src.shape
     assert flow.shape == (B, D, H, W, 3), (src.shape, flow.shape)
-    assert H % TILE == 0
+    assert H % TILE == 0 and TILE % fold == 0
     Wp = -(-W // 128) * 128
-    bz = min(BZ, D)
-    by = min(BY, H)
+    bz = min(bz, D)
+    by = min(by, H)
 
     zs = (jax.lax.broadcasted_iota(jnp.float32, (D, H, W), 0)[None]
           + flow[..., 0])
@@ -289,41 +317,46 @@ def warp3d_banded(src, flow, interpret: bool = False):
     ok = (jnp.all(jnp.max(tile_minmax(z1c), -1) - z_lo <= bz - 1)
           & jnp.all(jnp.max(tile_minmax(y1c), -1) - y_lo <= by - 1))
 
-    pad = [(0, 0), (0, 0), (0, 0), (0, Wp - W)]
     src_t = jnp.moveaxis(src, -1, 1).reshape(B * C, D, H, W)
     src_t = jnp.pad(src_t, [(0, 0), (0, 0), (0, 0), (0, Wp - W)])
     # coords in the lane-pad region: edge values (keep band mins honest,
-    # outputs there are sliced away)
+    # outputs there are sliced away); then ``fold`` rows concatenate along
+    # the lane axis per sub-tile, explicit sublane kept for the Mosaic
+    # trailing-block-dims rule (see warp2d_banded)
+    n_f = TILE // fold
+    FW = fold * Wp
+
     def pad_c(a):
-        return jnp.pad(a.reshape(B, D * H, W), [(0, 0), (0, 0), (0, Wp - W)],
-                       mode="edge")
+        a = jnp.pad(a.reshape(B, D * H, W), [(0, 0), (0, 0), (0, Wp - W)],
+                    mode="edge")
+        return a.reshape(B, n_t, n_f, FW)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B * C, n_t),
         in_specs=[
-            pl.BlockSpec((1, TILE, Wp),
-                         lambda bc, j, ylo, zlo: (bc // C, j, 0)),
-            pl.BlockSpec((1, TILE, Wp),
-                         lambda bc, j, ylo, zlo: (bc // C, j, 0)),
-            pl.BlockSpec((1, TILE, Wp),
-                         lambda bc, j, ylo, zlo: (bc // C, j, 0)),
+            pl.BlockSpec((1, 1, n_f, FW),
+                         lambda bc, j, ylo, zlo: (bc // C, j, 0, 0)),
+            pl.BlockSpec((1, 1, n_f, FW),
+                         lambda bc, j, ylo, zlo: (bc // C, j, 0, 0)),
+            pl.BlockSpec((1, 1, n_f, FW),
+                         lambda bc, j, ylo, zlo: (bc // C, j, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((1, TILE, Wp),
-                               lambda bc, j, ylo, zlo: (bc, j, 0)),
+        out_specs=pl.BlockSpec((1, 1, n_f, FW),
+                               lambda bc, j, ylo, zlo: (bc, j, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((bz, by, Wp), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
     out_t = pl.pallas_call(
-        functools.partial(_kernel3d, C, D, H, W, Wp, bz, by),
-        out_shape=jax.ShapeDtypeStruct((B * C, D * H, Wp), jnp.float32),
+        functools.partial(_kernel3d, C, D, H, W, Wp, bz, by, fold),
+        out_shape=jax.ShapeDtypeStruct((B * C, n_t, n_f, FW), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(y_lo, z_lo, pad_c(zs), pad_c(ys), pad_c(xs), src_t)
-    out = out_t[:, :, :W].reshape(B, C, D, H, W)
+    out = out_t.reshape(B * C, D * H, Wp)[:, :, :W].reshape(B, C, D, H, W)
     return jnp.moveaxis(out, 1, -1).astype(src.dtype), ok
 
 
@@ -374,11 +407,10 @@ def _bwd_kernel(C, H, W, band_h, y_lo_ref, ys_ref, xs_ref, g_ref, src_ref,
     iota_src = jax.lax.broadcasted_iota(jnp.int32, (W, TW), 0)
     fH = jnp.float32(H)
     fW = jnp.float32(W)
-    hp = jax.lax.Precision.HIGHEST
 
-    ys = jnp.clip(ys_ref[0], -2.0, fH + 1.0)   # (1, TW)
-    xs = jnp.clip(xs_ref[0], -2.0, fW + 1.0)
-    g = g_ref[0]                                # (1, TW)
+    ys = jnp.clip(ys_ref[0, 0], -2.0, fH + 1.0)   # (1, TW)
+    xs = jnp.clip(xs_ref[0, 0], -2.0, fW + 1.0)
+    g = g_ref[0, 0]                                # (1, TW)
     y0f = jnp.floor(ys)
     x0f = jnp.floor(xs)
     wy = ys - y0f
@@ -406,18 +438,12 @@ def _bwd_kernel(C, H, W, band_h, y_lo_ref, ys_ref, xs_ref, g_ref, src_ref,
     Wxd = (jnp.where(iota_src == x1c, vx1, 0.0)
            - jnp.where(iota_src == x0c, vx0, 0.0))
 
-    R = jax.lax.dot_general(band[...], M, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=hp)
-    Ry = jax.lax.dot_general(band[...], My, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32,
-                             precision=hp)
-    dfy_ref[0] = g * jnp.sum(Wx * Ry, axis=0, keepdims=True)
-    dfx_ref[0] = g * jnp.sum(Wxd * R, axis=0, keepdims=True)
+    R = _mxu_dot(band[...], M, ((0,), (0,)))
+    Ry = _mxu_dot(band[...], My, ((0,), (0,)))
+    dfy_ref[0, 0] = g * jnp.sum(Wx * Ry, axis=0, keepdims=True)
+    dfx_ref[0, 0] = g * jnp.sum(Wxd * R, axis=0, keepdims=True)
     G2 = Wx * g  # (W_src, TW)
-    dband_ref[0, 0] = jax.lax.dot_general(
-        M, G2, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=hp)
+    dband_ref[0, 0] = _mxu_dot(M, G2, ((1,), (1,)))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -445,24 +471,27 @@ def warp2d_banded_bwd(src, flow, g, interpret: bool = False):
 
     src_t = jnp.moveaxis(src, -1, 1).reshape(B * C, H, W)
     TW = TILE * W
-    ys_t = ys.reshape(B, n_t, TW)
-    xs_t = xs.reshape(B, n_t, TW)
-    g_t = jnp.moveaxis(g.astype(jnp.float32), -1, 1).reshape(B * C, n_t, TW)
+    # explicit singleton sublane axis — see warp2d_banded for the Mosaic
+    # trailing-block-dims rule this satisfies
+    ys_t = ys.reshape(B, n_t, 1, TW)
+    xs_t = xs.reshape(B, n_t, 1, TW)
+    g_t = jnp.moveaxis(g.astype(jnp.float32), -1, 1).reshape(
+        B * C, n_t, 1, TW)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B * C, n_t),
         in_specs=[
-            pl.BlockSpec((1, 1, TW), lambda bc, j, ylo: (bc // C, j, 0)),
-            pl.BlockSpec((1, 1, TW), lambda bc, j, ylo: (bc // C, j, 0)),
-            pl.BlockSpec((1, 1, TW), lambda bc, j, ylo: (bc, j, 0)),
+            pl.BlockSpec((1, 1, 1, TW), lambda bc, j, ylo: (bc // C, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, TW), lambda bc, j, ylo: (bc // C, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, TW), lambda bc, j, ylo: (bc, j, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=(
             pl.BlockSpec((1, 1, band_h, W),
                          lambda bc, j, ylo: (bc, j, 0, 0)),
-            pl.BlockSpec((1, 1, TW), lambda bc, j, ylo: (bc, j, 0)),
-            pl.BlockSpec((1, 1, TW), lambda bc, j, ylo: (bc, j, 0)),
+            pl.BlockSpec((1, 1, 1, TW), lambda bc, j, ylo: (bc, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, TW), lambda bc, j, ylo: (bc, j, 0, 0)),
         ),
         scratch_shapes=[
             pltpu.VMEM((band_h, W), jnp.float32),
@@ -473,8 +502,8 @@ def warp2d_banded_bwd(src, flow, g, interpret: bool = False):
         functools.partial(_bwd_kernel, C, H, W, band_h),
         out_shape=(
             jax.ShapeDtypeStruct((B * C, n_t, band_h, W), jnp.float32),
-            jax.ShapeDtypeStruct((B * C, n_t, TW), jnp.float32),
-            jax.ShapeDtypeStruct((B * C, n_t, TW), jnp.float32),
+            jax.ShapeDtypeStruct((B * C, n_t, 1, TW), jnp.float32),
+            jax.ShapeDtypeStruct((B * C, n_t, 1, TW), jnp.float32),
         ),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -565,18 +594,64 @@ def _warp2d_bwd(res, g):
 _warp2d.defvjp(_warp2d_fwd, _warp2d_bwd)
 
 
+def _band3d_ok(flow, D, H, bz, by):
+    """Cheap feasibility predicate for a 3-D band variant — mirrors the
+    z_lo/y_lo/span math inside ``warp3d_banded`` without building coords
+    for the kernel, so the cascade can gate each pallas_call inside its
+    own ``lax.cond`` branch (only the engaged kernel executes)."""
+    B, W = flow.shape[0], flow.shape[3]
+    bz = min(bz, D)
+    by = min(by, H)
+    n_t = D * H // TILE
+    zs = (jax.lax.broadcasted_iota(jnp.float32, (D, H, W), 0)[None]
+          + flow[..., 0])
+    ys = (jax.lax.broadcasted_iota(jnp.float32, (D, H, W), 1)[None]
+          + flow[..., 1])
+    z0c = jnp.clip(jnp.floor(jnp.clip(zs, -2.0, jnp.float32(D + 1))
+                             ).astype(jnp.int32), 0, D - 1)
+    y0c = jnp.clip(jnp.floor(jnp.clip(ys, -2.0, jnp.float32(H + 1))
+                             ).astype(jnp.int32), 0, H - 1)
+    z1c = jnp.clip(z0c + 1, 0, D - 1)
+    y1c = jnp.clip(y0c + 1, 0, H - 1)
+
+    def t(a):
+        return a.reshape(B, n_t, TILE * W)
+
+    z_lo = jnp.clip(jnp.min(t(z0c), -1), 0, max(D - bz, 0))
+    y_lo = (jnp.clip(jnp.min(t(y0c), -1), 0, max(H - by, 0)) // 8) * 8
+    return (jnp.all(jnp.max(t(z1c), -1) - z_lo <= bz - 1)
+            & jnp.all(jnp.max(t(y1c), -1) - y_lo <= by - 1))
+
+
 @jax.custom_vjp
 def _warp3d(src, flow):
+    """Cascade: small bands (cheapest selection matmul) -> big bands
+    (covers ~±18-voxel smooth registration fields) -> XLA gather path.
+    Each kernel runs only inside its taken ``lax.cond`` branch."""
     from dfmir_tpu.ops.warp import warp
 
-    out, ok = warp3d_banded(src.astype(jnp.float32),
-                            flow.astype(jnp.float32),
-                            interpret=_INTERPRET)
-    return jax.lax.cond(
-        ok, lambda: out,
-        lambda: warp(src, flow, mode="bilinear",
-                     impl="xla").astype(jnp.float32),
-    ).astype(src.dtype)
+    src32 = src.astype(jnp.float32)
+    flow32 = flow.astype(jnp.float32)
+    D, H = src.shape[1], src.shape[2]
+    ok_s = _band3d_ok(flow32, D, H, BZ, BY)
+    ok_b = _band3d_ok(flow32, D, H, BZ2, BY2)
+
+    def small():
+        return warp3d_banded(src32, flow32, bz=BZ, by=BY, fold=4,
+                             interpret=_INTERPRET)[0]
+
+    def not_small():
+        def big():
+            return warp3d_banded(src32, flow32, bz=BZ2, by=BY2, fold=2,
+                                 interpret=_INTERPRET)[0]
+
+        def xla():
+            return warp(src, flow, mode="bilinear",
+                        impl="xla").astype(jnp.float32)
+
+        return jax.lax.cond(ok_b, big, xla)
+
+    return jax.lax.cond(ok_s, small, not_small).astype(src.dtype)
 
 
 def _warp3d_fwd(src, flow):

@@ -1,6 +1,11 @@
 """Banded Pallas warp kernel: interpret-mode correctness vs the XLA path
-(the compiled kernel itself is exercised on real TPU by bench.py; measured
-f32-exact, 10.6x the XLA gather at 256^2x8)."""
+(the compiled kernel itself is exercised on real TPU by bench.py).
+
+Tolerances: the selection matmuls run in 3-pass bf16 emulation
+(warp_pallas.PRECISION = "bf16x3", measured ~3e-5 fwd / ~1e-4 bwd max-abs
+on N(0,1) images vs the f32 XLA path) — tolerances sit at 2e-4, 5x under
+the 1e-3 parity bar.  Even zero-flow carries ~2^-16 relative error: the
+hi/lo bf16 split covers 16 of f32's 24 mantissa bits."""
 
 import numpy as np
 import pytest
@@ -25,14 +30,14 @@ def test_matches_xla_path(rng, shape, scale):
     ref = warp(src, flow, impl="xla")
     out, ok = warp2d_banded(src, flow, interpret=True)
     assert bool(ok)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
 
 
 def test_zero_flow_is_identity(rng):
     src = jnp.asarray(rng.standard_normal((1, 64, 64, 1)), jnp.float32)
     out, ok = warp2d_banded(src, jnp.zeros((1, 64, 64, 2)), interpret=True)
     assert bool(ok)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(src), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(src), atol=1e-4)
 
 
 def test_out_of_range_zero_padded(rng):
@@ -43,7 +48,7 @@ def test_out_of_range_zero_padded(rng):
     assert bool(ok)
     # bottom/right strip samples outside -> zeros
     assert float(jnp.max(jnp.abs(out[0, -5:, -5:]))) == 0.0
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
 
 
 def test_violent_flow_reports_not_ok(rng):
@@ -79,7 +84,7 @@ def test_3d_matches_xla_path(rng, shape, scale):
     ref = warp(src, flow, impl="xla")
     out, ok = warp3d_banded(src, flow, interpret=True)
     assert bool(ok)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
 
 
 def test_3d_violent_flow_reports_not_ok(rng):
@@ -109,9 +114,9 @@ def test_banded_bwd_matches_xla_vjp(rng, shape, scale):
     ds, df, ok = warp2d_banded_bwd(src, flow, g, interpret=True)
     assert bool(ok)
     np.testing.assert_allclose(np.asarray(ds), np.asarray(ds_ref),
-                               atol=5e-6)
+                               atol=2e-4)
     np.testing.assert_allclose(np.asarray(df), np.asarray(df_ref),
-                               atol=5e-6)
+                               atol=2e-4)
 
 
 def test_custom_vjp_matches_xla_grad(rng, monkeypatch):
@@ -131,4 +136,5 @@ def test_custom_vjp_matches_xla_grad(rng, monkeypatch):
     gp = jax.grad(loss_p, argnums=(0, 1))(src, flow)
     gx = jax.grad(loss_x, argnums=(0, 1))(src, flow)
     for a, b in zip(gp, gx):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=1e-4)
