@@ -181,7 +181,7 @@ def warp2d_banded(src, flow, interpret: bool = False):
         in_specs=[
             pl.BlockSpec((1, 1, 1, TW), lambda bc, j, ylo: (bc // C, j, 0, 0)),
             pl.BlockSpec((1, 1, 1, TW), lambda bc, j, ylo: (bc // C, j, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, 1, 1, TW), lambda bc, j, ylo: (bc, j, 0, 0)),
         scratch_shapes=[
@@ -341,7 +341,7 @@ def warp3d_banded(src, flow, bz: int = BZ, by: int = BY, fold: int = 4,
                          lambda bc, j, ylo, zlo: (bc // C, j, 0, 0)),
             pl.BlockSpec((1, 1, n_f, FW),
                          lambda bc, j, ylo, zlo: (bc // C, j, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, 1, n_f, FW),
                                lambda bc, j, ylo, zlo: (bc, j, 0, 0)),
@@ -485,7 +485,7 @@ def warp2d_banded_bwd(src, flow, g, interpret: bool = False):
             pl.BlockSpec((1, 1, 1, TW), lambda bc, j, ylo: (bc // C, j, 0, 0)),
             pl.BlockSpec((1, 1, 1, TW), lambda bc, j, ylo: (bc // C, j, 0, 0)),
             pl.BlockSpec((1, 1, 1, TW), lambda bc, j, ylo: (bc, j, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
             pl.BlockSpec((1, 1, band_h, W),

@@ -33,14 +33,26 @@ def rng():
     return np.random.default_rng(0)
 
 
-# Persistent compilation cache: XLA-CPU takes minutes to compile the 3-D
-# registration graphs; cache them across test processes/runs.
-_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-try:
-    jax.config.update("jax_persistent_cache_enable_xla_caches",
-                      "xla_gpu_per_fusion_autotune_cache_dir")
-except Exception:
-    pass
+# Persistent compilation cache: DISABLED for XLA:CPU — the AOT
+# round-trip additionally mmaps every loaded executable, which makes the
+# map-count exhaustion below strike earlier, and the loader warns about
+# unsupported "+prefer-no-scatter/+prefer-no-gather" pseudo-features.
+#
+# Map-count guard: every XLA:CPU executable holds LLVM-JIT'd code in its
+# own anonymous mmaps.  This suite compiles ~200 tests' worth of programs
+# in ONE process; measured map growth reached vm.max_map_count (65530)
+# at which point the next mmap fails inside compilation/cache-load and
+# the process dies with SIGSEGV (observed thrice, last /proc/<pid>/maps
+# sample 64820 lines immediately before rc=139).  Dropping the compiled-
+# executable caches between test modules unmaps the dead executables and
+# keeps the count bounded; cross-module recompiles of shared jitted fns
+# (warp etc.) are the cheap price.
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_jit_executable_maps():
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()   # executables sit in ref cycles; force the unmap now
