@@ -138,3 +138,42 @@ def test_custom_vjp_matches_xla_grad(rng, monkeypatch):
     for a, b in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("shape,scale", [
+    ((1, 24, 24, 24, 1), 2.0),
+    ((1, 16, 32, 40, 2), 1.5),   # non-cubic, multi-channel, lane-padded
+])
+def test_3d_banded_bwd_matches_xla_vjp(rng, shape, scale):
+    from dfmir_tpu.ops.warp_pallas import warp3d_banded_bwd
+
+    B, D, H, W_, C = shape
+    src = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    flow = jnp.asarray(rng.standard_normal((B, D, H, W_, 3)) * scale,
+                       jnp.float32)
+    g = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    _, vjp = jax.vjp(lambda s, f: warp(s, f, impl="xla"), src, flow)
+    ds_ref, df_ref = vjp(g)
+    ds, df, ok = warp3d_banded_bwd(src, flow, g, fold=2, interpret=True)
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(ds), np.asarray(ds_ref),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(df), np.asarray(df_ref),
+                               atol=2e-4)
+
+
+def test_3d_custom_vjp_matches_xla_grad(rng, monkeypatch):
+    from dfmir_tpu.ops import warp_pallas
+    from dfmir_tpu.ops.warp_pallas import _warp3d
+
+    monkeypatch.setattr(warp_pallas, "_INTERPRET", True)
+    src = jnp.asarray(rng.standard_normal((1, 16, 24, 24, 1)), jnp.float32)
+    flow = jnp.asarray(rng.standard_normal((1, 16, 24, 24, 3)), jnp.float32)
+
+    gp = jax.grad(lambda s, f: jnp.sum(_warp3d(s, f) ** 2),
+                  argnums=(0, 1))(src, flow)
+    gx = jax.grad(lambda s, f: jnp.sum(warp(s, f, impl="xla") ** 2),
+                  argnums=(0, 1))(src, flow)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=1e-4)
