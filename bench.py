@@ -123,10 +123,40 @@ def _bench_warp3d(args):
             "extra": {"pallas_ok": pallas_ok}}
 
 
+def _bench_train3d(args):
+    """Full 3-D VxmEngine training step (NCC + smooth, Adam) on a 160^3
+    volume pair — the voxelmorph-side workload.  Runs the Pallas warp
+    custom VJP end-to-end (fwd cascade + small-band bwd)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dfmir_tpu.engine.vxm_engine import VxmConfig, VxmEngine
+
+    S = args.size if args.size != 256 else 160
+    cfg = VxmConfig(vol_size=S, batch_size=1, compute_dtype=args.dtype)
+    eng = VxmEngine(cfg)
+    state = eng.init_state(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    shape = (1, S, S, S, 1)
+    src = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    tgt = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+
+    def step(carry):
+        st, s = carry
+        new_st, _ = eng.train_step(st, s, tgt)
+        return new_st, s
+
+    sec = _measure_chained(step, (state, src), max(args.iters // 2, 4))
+    return {"metric": f"train3d_{S}cube_ms_per_step",
+            "value": round(sec * 1e3, 3), "unit": "ms",
+            "vs_baseline": None}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="register",
-                    choices=["register", "train", "warp3d"])
+                    choices=["register", "train", "warp3d", "train3d"])
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--iters", type=int, default=20)
@@ -143,6 +173,10 @@ def main() -> None:
 
     if args.mode == "warp3d":
         print(json.dumps(_bench_warp3d(args)))
+        return
+
+    if args.mode == "train3d":
+        print(json.dumps(_bench_train3d(args)))
         return
 
     if args.mode == "train":
