@@ -74,7 +74,7 @@ def _mxu_dot(a, b, dims):
     return dot(ah, bh) + dot(ah, bl) + dot(al, bh)
 
 
-def _kernel(C, H, W, band_h, y_lo_ref, ys_ref, xs_ref, src_ref, out_ref,
+def _kernel(C, H, W, Wp, band_h, y_lo_ref, ys_ref, xs_ref, src_ref, out_ref,
             band, sem):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -89,13 +89,16 @@ def _kernel(C, H, W, band_h, y_lo_ref, ys_ref, xs_ref, src_ref, out_ref,
     copy.wait()
 
     # All TILE output rows fold into ONE selection matmul: their weighted
-    # one-hot columns concatenate along the lane axis (column t*W+p is
+    # one-hot columns concatenate along the lane axis (column t*Wp+p is
     # output pixel (t, p)), so the MXU sees a single
-    # (W x band_h) @ (band_h x TILE*W) contraction per tile instead of
-    # TILE serial K=band_h slivers.
-    TW = TILE * W
+    # (Wp x band_h) @ (band_h x TILE*Wp) contraction per tile instead of
+    # TILE serial K=band_h slivers.  Wp is the lane-padded width (the
+    # source band's pad columns are zero and never selected, since x
+    # corners clip to W-1; pad-lane OUTPUT columns carry edge-coord values
+    # the caller slices away).
+    TW = TILE * Wp
     iota_band = jax.lax.broadcasted_iota(jnp.int32, (band_h, TW), 0)
-    iota_src = jax.lax.broadcasted_iota(jnp.int32, (W, TW), 0)
+    iota_src = jax.lax.broadcasted_iota(jnp.int32, (Wp, TW), 0)
     fH = jnp.float32(H)
     fW = jnp.float32(W)
 
@@ -146,6 +149,7 @@ def warp2d_banded(src, flow, interpret: bool = False):
     assert flow.shape == (B, H, W, 2), (src.shape, flow.shape)
     assert H % TILE == 0
     band_h = min(BAND, H)
+    Wp = -(-W // 128) * 128   # lane-padded width (see _kernel docstring)
 
     # absolute sample coordinates (XLA fuses this into the reductions)
     ys = (jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)[None]
@@ -164,16 +168,22 @@ def warp2d_banded(src, flow, interpret: bool = False):
     y_lo = (jnp.clip(y0_t, 0, max(H - band_h, 0)) // 8) * 8   # (B, n_t)
     ok = jnp.all(y1_t - y_lo <= band_h - 1)
 
-    # channels become independent images: (B, H, W, C) -> (B*C, H, W)
+    # channels become independent images: (B, H, W, C) -> (B*C, H, Wp)
+    # (zero pad columns: x corners clip to W-1 so they are never selected)
     src_t = jnp.moveaxis(src, -1, 1).reshape(B * C, H, W)
+    src_t = jnp.pad(src_t, [(0, 0), (0, 0), (0, Wp - W)])
     # coords pre-flattened per tile (host-side reshape is free) so the
     # kernel sees every output pixel of a tile along the lane axis; the
     # explicit singleton sublane axis keeps the block's trailing two dims
     # equal to the array's (Mosaic requires (8,128)-divisible or full-dim
-    # trailing blocks — a (1, TW) block over an (n_t, TW) array is neither)
-    TW = TILE * W
-    ys_t = ys.reshape(B, n_t, 1, TW)
-    xs_t = xs.reshape(B, n_t, 1, TW)
+    # trailing blocks — a (1, TW) block over an (n_t, TW) array is neither).
+    # Pad-lane coords take edge values (their band rows stay inside the
+    # tile's span; the outputs there are sliced away below).
+    TW = TILE * Wp
+
+    def pad_c(a):
+        a = jnp.pad(a, [(0, 0), (0, 0), (0, Wp - W)], mode="edge")
+        return a.reshape(B, n_t, 1, TW)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -185,18 +195,18 @@ def warp2d_banded(src, flow, interpret: bool = False):
         ],
         out_specs=pl.BlockSpec((1, 1, 1, TW), lambda bc, j, ylo: (bc, j, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((band_h, W), jnp.float32),
+            pltpu.VMEM((band_h, Wp), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
     out_t = pl.pallas_call(
-        functools.partial(_kernel, C, H, W, band_h),
+        functools.partial(_kernel, C, H, W, Wp, band_h),
         out_shape=jax.ShapeDtypeStruct((B * C, n_t, 1, TW), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(y_lo, ys_t, xs_t, src_t)
-    out = jnp.moveaxis(out_t.reshape(B, C, H, W), 1, -1)
-    return out.astype(src.dtype), ok
+    )(y_lo, pad_c(ys), pad_c(xs), src_t)
+    out = out_t.reshape(B * C, H, Wp)[:, :, :W].reshape(B, C, H, W)
+    return jnp.moveaxis(out, 1, -1).astype(src.dtype), ok
 
 
 BZ = 16        # 3-D: source z-slices resident per tile (small variant)
@@ -579,21 +589,21 @@ def warp3d_banded_bwd(src, flow, g, bz: int = BZ, by: int = BY,
 def supports(src, flow, mode="bilinear"):
     """Shapes the compiled kernels accept.
 
-    2-D bilinear: lane-aligned width (Mosaic requires DMA slices
-    128-aligned on the lane axis), row-tileable height.  3-D trilinear:
-    any width (padded to a lane multiple internally), row-tileable H."""
+    2-D bilinear and 3-D trilinear: any width (padded to a lane multiple
+    internally), row-tileable height (H % TILE == 0; every power-of-4
+    preprocess size qualifies)."""
     if mode not in ("bilinear", "trilinear"):
         return False
     if (flow.ndim == 4 and flow.shape[-1] == 2
             and src.shape[:3] == flow.shape[:3]):
-        return src.shape[2] % 128 == 0 and src.shape[1] % TILE == 0
+        return src.shape[1] % TILE == 0
     if (flow.ndim == 5 and flow.shape[-1] == 3
             and src.shape[:4] == flow.shape[:4]):
         return src.shape[2] % TILE == 0
     return False
 
 
-def _bwd_kernel(C, H, W, band_h, y_lo_ref, ys_ref, xs_ref, g_ref, src_ref,
+def _bwd_kernel(C, H, W, Wp, band_h, y_lo_ref, ys_ref, xs_ref, g_ref, src_ref,
                 dband_ref, dfy_ref, dfx_ref, band, sem):
     """Banded backward: per (image, row-tile) computes the flow gradient
     rows and this tile's contribution to d(src) over its band (scattered
@@ -618,15 +628,15 @@ def _bwd_kernel(C, H, W, band_h, y_lo_ref, ys_ref, xs_ref, g_ref, src_ref,
     copy.start()
     copy.wait()
 
-    TW = TILE * W
+    TW = TILE * Wp
     iota_band = jax.lax.broadcasted_iota(jnp.int32, (band_h, TW), 0)
-    iota_src = jax.lax.broadcasted_iota(jnp.int32, (W, TW), 0)
+    iota_src = jax.lax.broadcasted_iota(jnp.int32, (Wp, TW), 0)
     fH = jnp.float32(H)
     fW = jnp.float32(W)
 
     ys = jnp.clip(ys_ref[0, 0], -2.0, fH + 1.0)   # (1, TW)
     xs = jnp.clip(xs_ref[0, 0], -2.0, fW + 1.0)
-    g = g_ref[0, 0]                                # (1, TW)
+    g = g_ref[0, 0]   # (1, TW); ZERO in pad lanes (phantom outputs)
     y0f = jnp.floor(ys)
     x0f = jnp.floor(xs)
     wy = ys - y0f
@@ -672,6 +682,7 @@ def warp2d_banded_bwd(src, flow, g, interpret: bool = False):
     B, H, W, C = src.shape
     band_h = min(BAND, H)
     n_t = H // TILE
+    Wp = -(-W // 128) * 128
 
     ys = (jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)[None]
           + flow[..., 0])
@@ -686,12 +697,18 @@ def warp2d_banded_bwd(src, flow, g, interpret: bool = False):
     ok = jnp.all(y1_t - y_lo <= band_h - 1)
 
     src_t = jnp.moveaxis(src, -1, 1).reshape(B * C, H, W)
-    TW = TILE * W
+    src_t = jnp.pad(src_t, [(0, 0), (0, 0), (0, Wp - W)])
+    TW = TILE * Wp
     # explicit singleton sublane axis — see warp2d_banded for the Mosaic
-    # trailing-block-dims rule this satisfies
-    ys_t = ys.reshape(B, n_t, 1, TW)
-    xs_t = xs.reshape(B, n_t, 1, TW)
-    g_t = jnp.moveaxis(g.astype(jnp.float32), -1, 1).reshape(
+    # trailing-block-dims rule this satisfies.  Coords edge-pad into the
+    # lane-pad region; the cotangent zero-pads there (pad-lane outputs
+    # never existed, so they must not contribute to dband/dflow).
+    def pad_c(a):
+        a = jnp.pad(a, [(0, 0), (0, 0), (0, Wp - W)], mode="edge")
+        return a.reshape(B, n_t, 1, TW)
+
+    g_t = jnp.moveaxis(g.astype(jnp.float32), -1, 1).reshape(B * C, H, W)
+    g_t = jnp.pad(g_t, [(0, 0), (0, 0), (0, Wp - W)]).reshape(
         B * C, n_t, 1, TW)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -704,42 +721,42 @@ def warp2d_banded_bwd(src, flow, g, interpret: bool = False):
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, band_h, W),
+            pl.BlockSpec((1, 1, band_h, Wp),
                          lambda bc, j, ylo: (bc, j, 0, 0)),
             pl.BlockSpec((1, 1, 1, TW), lambda bc, j, ylo: (bc, j, 0, 0)),
             pl.BlockSpec((1, 1, 1, TW), lambda bc, j, ylo: (bc, j, 0, 0)),
         ),
         scratch_shapes=[
-            pltpu.VMEM((band_h, W), jnp.float32),
+            pltpu.VMEM((band_h, Wp), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
     dband, dfy, dfx = pl.pallas_call(
-        functools.partial(_bwd_kernel, C, H, W, band_h),
+        functools.partial(_bwd_kernel, C, H, W, Wp, band_h),
         out_shape=(
-            jax.ShapeDtypeStruct((B * C, n_t, band_h, W), jnp.float32),
+            jax.ShapeDtypeStruct((B * C, n_t, band_h, Wp), jnp.float32),
             jax.ShapeDtypeStruct((B * C, n_t, 1, TW), jnp.float32),
             jax.ShapeDtypeStruct((B * C, n_t, 1, TW), jnp.float32),
         ),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(y_lo, ys_t, xs_t, g_t, src_t)
+    )(y_lo, pad_c(ys), pad_c(xs), g_t, src_t)
 
     # scatter the per-tile band contributions back (block-granular adds)
     y_lo_bc = jnp.repeat(y_lo, C, axis=0)  # (B*C, n_t)
 
     def per_image(bands, ylos):
         def body(j, ds):
-            sl = lax.dynamic_slice(ds, (ylos[j], 0), (band_h, W))
+            sl = lax.dynamic_slice(ds, (ylos[j], 0), (band_h, Wp))
             return lax.dynamic_update_slice(ds, sl + bands[j],
                                             (ylos[j], 0))
-        return lax.fori_loop(0, n_t, body, jnp.zeros((H, W), jnp.float32))
+        return lax.fori_loop(0, n_t, body, jnp.zeros((H, Wp), jnp.float32))
 
     dsrc_t = jax.vmap(per_image)(dband, y_lo_bc)
-    dsrc = jnp.moveaxis(dsrc_t.reshape(B, C, H, W), 1, -1)
+    dsrc = jnp.moveaxis(dsrc_t[..., :W].reshape(B, C, H, W), 1, -1)
     # flow is shared across channels: sum their contributions
-    dfy = dfy.reshape(B, C, H, W).sum(axis=1)
-    dfx = dfx.reshape(B, C, H, W).sum(axis=1)
+    dfy = dfy.reshape(B, C, H, Wp)[..., :W].sum(axis=1)
+    dfx = dfx.reshape(B, C, H, Wp)[..., :W].sum(axis=1)
     dflow = jnp.stack([dfy, dfx], axis=-1)
     return dsrc, dflow, ok
 
@@ -850,13 +867,16 @@ def _warp3d(src, flow):
     flow32 = flow.astype(jnp.float32)
     D, H = src.shape[1], src.shape[2]
     ok_s = _band3d_ok(flow32, D, H, BZ, BY)
-    ok_b = _band3d_ok(flow32, D, H, BZ2, BY2)
 
     def small():
         return warp3d_banded(src32, flow32, bz=BZ, by=BY, fold=4,
                              interpret=_INTERPRET)[0]
 
     def not_small():
+        # big-band feasibility scan only runs when the small band already
+        # failed (the common smooth-field case never pays for it)
+        ok_b = _band3d_ok(flow32, D, H, BZ2, BY2)
+
         def big():
             return warp3d_banded(src32, flow32, bz=BZ2, by=BY2, fold=2,
                                  interpret=_INTERPRET)[0]

@@ -65,9 +65,35 @@ def test_violent_flow_reports_not_ok(rng):
 def test_supports_gating():
     src = jnp.zeros((1, 64, 130, 1))
     flow = jnp.zeros((1, 64, 130, 2))
-    assert not supports(src, flow)            # width not lane-aligned
+    assert supports(src, flow)                # any width: lane-padded inside
     assert not supports(src, flow, "nearest")
+    assert not supports(jnp.zeros((1, 62, 128, 1)),
+                        jnp.zeros((1, 62, 128, 2)))   # H not row-tileable
     assert supports(jnp.zeros((1, 64, 128, 1)), jnp.zeros((1, 64, 128, 2)))
+
+
+@pytest.mark.parametrize("shape,scale", [
+    ((2, 200, 200, 1), 4.0),    # arbitrary --crop_size (lane-padded to 256)
+    ((1, 64, 130, 2), 3.0),     # just over a lane boundary
+])
+def test_nonaligned_width_fwd_bwd(rng, shape, scale):
+    from dfmir_tpu.ops.warp_pallas import warp2d_banded_bwd
+
+    B, H, W, C = shape
+    src = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    flow = jnp.asarray(rng.standard_normal((B, H, W, 2)) * scale,
+                       jnp.float32)
+    ref = warp(src, flow, impl="xla")
+    out, ok = warp2d_banded(src, flow, interpret=True)
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+    g = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    _, vjp = jax.vjp(lambda s, f: warp(s, f, impl="xla"), src, flow)
+    ds_ref, df_ref = vjp(g)
+    ds, df, okb = warp2d_banded_bwd(src, flow, g, interpret=True)
+    assert bool(okb)
+    np.testing.assert_allclose(np.asarray(ds), np.asarray(ds_ref), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(df), np.asarray(df_ref), atol=2e-4)
 
 
 @pytest.mark.parametrize("shape,scale", [
