@@ -18,6 +18,9 @@ class TrainOptions(BaseOptions):
                             default="http://localhost")
         parser.add_argument("--display_env", type=str, default="main")
         parser.add_argument("--display_port", type=int, default=8097)
+        parser.add_argument("--display_host", type=str, default="127.0.0.1",
+                            help="dashboard bind address (unauthenticated; "
+                                 "use 0.0.0.0 to allow remote access)")
         parser.add_argument("--update_html_freq", type=int, default=1000)
         parser.add_argument("--print_freq", type=int, default=100)
         parser.add_argument("--no_html", action="store_true")

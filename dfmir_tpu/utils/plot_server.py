@@ -26,6 +26,7 @@ records keeps every value reachable without hovering.
 
 from __future__ import annotations
 
+import html as _html
 import json
 import os
 import re
@@ -314,9 +315,50 @@ def _latest_epoch_images(img_dir: str):
 class _Handler(BaseHTTPRequestHandler):
     expr_dir = "."
     page = b""
+    # /history incremental-parse cache, shared per handler class (one per
+    # server): long trainings append millions of lines; re-parsing the
+    # whole file every 2 s poll per client grows without bound.  Parse
+    # only the appended tail, keyed on (size, mtime_ns); on truncation or
+    # rewrite start over.
+    _hist_lock = threading.Lock()
+    _hist_key = None      # (st_size, st_mtime_ns) of the last parse
+    _hist_offset = 0      # byte offset of the first unparsed line
+    _hist_records = None  # parsed records list
 
     def log_message(self, *a):  # quiet: training console stays clean
         pass
+
+    def _history_json(self) -> bytes:
+        cls = type(self)
+        hist_path = os.path.join(self.expr_dir, "loss_history.jsonl")
+        with cls._hist_lock:
+            try:
+                st = os.stat(hist_path)
+                key = (st.st_size, st.st_mtime_ns)
+            except OSError:
+                return b"[]"
+            if cls._hist_records is None or st.st_size < cls._hist_offset:
+                cls._hist_records, cls._hist_offset = [], 0
+                cls._hist_key = None
+            if key != cls._hist_key:
+                try:
+                    with open(hist_path) as f:
+                        f.seek(cls._hist_offset)
+                        for line in f:
+                            if not line.endswith("\n"):
+                                break  # torn tail write; next poll gets it
+                            cls._hist_offset += len(line.encode())
+                            line = line.strip()
+                            if line:
+                                try:
+                                    cls._hist_records.append(
+                                        json.loads(line))
+                                except json.JSONDecodeError:
+                                    pass
+                    cls._hist_key = key
+                except OSError:
+                    pass
+            return json.dumps(cls._hist_records).encode()
 
     def _send(self, code, ctype, body):
         self.send_response(code)
@@ -331,21 +373,8 @@ class _Handler(BaseHTTPRequestHandler):
         if path in ("/", "/index.html"):
             return self._send(200, "text/html; charset=utf-8", self.page)
         if path == "/history":
-            recs = []
-            try:
-                with open(os.path.join(self.expr_dir,
-                                       "loss_history.jsonl")) as f:
-                    for line in f:
-                        line = line.strip()
-                        if line:
-                            try:
-                                recs.append(json.loads(line))
-                            except json.JSONDecodeError:
-                                pass  # torn tail write; next poll gets it
-            except OSError:
-                pass
             return self._send(200, "application/json",
-                              json.dumps(recs).encode())
+                              self._history_json())
         img_dir = os.path.join(self.expr_dir, "web", "images")
         if path == "/images":
             return self._send(200, "application/json",
@@ -363,17 +392,19 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def start_plot_server(expr_dir: str, name: str, port: int = 8097,
-                      host: str = "0.0.0.0",
+                      host: str = "127.0.0.1",
                       winsize: int = 256) -> Optional[
                           Tuple[ThreadingHTTPServer, threading.Thread]]:
     """Serve the live dashboard for ``expr_dir`` on a daemon thread.
 
-    Returns (server, thread), or None if the port could not be bound
-    (training proceeds without the display, like the reference's visdom
-    fallback at util/visualizer.py:99-104)."""
+    Binds loopback by default (the dashboard is unauthenticated; pass
+    ``--display_host 0.0.0.0`` to expose it).  Returns (server, thread),
+    or None if the port could not be bound (training proceeds without the
+    display, like the reference's visdom fallback at
+    util/visualizer.py:99-104)."""
     handler = type("Handler", (_Handler,), {
         "expr_dir": expr_dir,
-        "page": (_PAGE.replace("%NAME%", name)
+        "page": (_PAGE.replace("%NAME%", _html.escape(name))
                  .replace("%WINSIZE%", str(winsize)).encode()),
     })
     try:

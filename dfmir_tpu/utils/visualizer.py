@@ -71,6 +71,7 @@ class Visualizer:
             self.plot_server = start_plot_server(
                 expr_dir, opt.name,
                 port=getattr(opt, "display_port", 8097),
+                host=getattr(opt, "display_host", "127.0.0.1"),
                 winsize=self.win_size)
         with open(self.log_name, "a") as f:
             now = time.strftime("%c")
