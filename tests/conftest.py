@@ -49,10 +49,28 @@ def rng():
 # (warp etc.) are the cheap price.
 
 
+_MAPS_CLEAR_THRESHOLD = 40_000   # vm.max_map_count is 65_530; per-module
+                                 # growth is a few thousand maps, so this
+                                 # leaves ample headroom while letting most
+                                 # modules keep their warm caches
+
+
+def _map_count() -> int:
+    try:
+        with open("/proc/self/maps", "rb") as f:
+            return sum(1 for _ in f)
+    except OSError:        # no procfs: cannot measure, always clear
+        return 1 << 30
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _bound_jit_executable_maps():
     yield
-    import gc
+    # Clear ONLY when the map count actually approaches the ceiling —
+    # unconditional per-module clearing kept the suite safe but quintupled
+    # its wall time (every shared jitted fn recompiled every module).
+    if _map_count() > _MAPS_CLEAR_THRESHOLD:
+        import gc
 
-    jax.clear_caches()
-    gc.collect()   # executables sit in ref cycles; force the unmap now
+        jax.clear_caches()
+        gc.collect()   # executables sit in ref cycles; force the unmap now
