@@ -1,0 +1,98 @@
+"""Structured synthetic multimodal pairs for the flagship soak run.
+
+The reference's workload is unpaired 256x256 grayscale A->B registration
+(/root/reference/options/base_options.py:53-55, train_options.py:33-37).
+Real datasets cannot ship in this image, so this generates anatomy-like
+volumes with the two properties the joint model actually exercises:
+
+- modality gap: A and B render the SAME underlying "anatomy" (a sum of
+  soft blobs on a smooth background) through DIFFERENT monotone intensity
+  maps, so the translator has real work (NCE keeps structure, intensity
+  must be re-mapped);
+- misalignment: B's anatomy is warped by a smooth random SVF-style
+  deformation (low-res Gaussian flow, upsampled), so the registration
+  net has real work and the Jacobian statistics are meaningful.
+
+Images are written as PNGs under {out}/trainA, {trainB}, {testA}, {testB}
+in the reference's dataroot layout (data/unaligned.py pairs A[i] with
+B[i % len(B)]).
+"""
+
+import argparse
+import os
+
+import numpy as np
+from PIL import Image
+
+
+def _smooth_noise(rng, size, cells, amp):
+    """Low-res Gaussian noise bilinearly upsampled to (size, size)."""
+    lo = rng.standard_normal((cells, cells)).astype(np.float32) * amp
+    img = Image.fromarray(lo, mode="F").resize((size, size), Image.BILINEAR)
+    return np.asarray(img, np.float32)
+
+
+def _anatomy(rng, size):
+    """Sum of soft elliptical blobs on a smooth background, in [0, 1]."""
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+    img = 0.25 + 0.1 * _smooth_noise(rng, size, 4, 1.0)
+    for _ in range(int(rng.integers(6, 12))):
+        cy, cx = rng.uniform(0.15 * size, 0.85 * size, 2)
+        sy, sx = rng.uniform(0.03 * size, 0.15 * size, 2)
+        th = rng.uniform(0, np.pi)
+        amp = rng.uniform(0.3, 0.9) * rng.choice([-1.0, 1.0])
+        dy, dx = yy - cy, xx - cx
+        ry = dy * np.cos(th) + dx * np.sin(th)
+        rx = -dy * np.sin(th) + dx * np.cos(th)
+        img += amp * np.exp(-(ry / sy) ** 2 - (rx / sx) ** 2)
+    img -= img.min()
+    return img / max(img.max(), 1e-6)
+
+
+def _warp_bilinear(img, flow):
+    """Dense-flow bilinear warp (numpy; loader-side ground truth only)."""
+    size = img.shape[0]
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+    ys = np.clip(yy + flow[..., 0], 0, size - 1)
+    xs = np.clip(xx + flow[..., 1], 0, size - 1)
+    y0 = np.clip(np.floor(ys).astype(np.int32), 0, size - 2)
+    x0 = np.clip(np.floor(xs).astype(np.int32), 0, size - 2)
+    wy = ys - y0
+    wx = xs - x0
+    g = lambda yi, xi: img[yi, xi]
+    return ((1 - wy) * (1 - wx) * g(y0, x0) + (1 - wy) * wx * g(y0, x0 + 1)
+            + wy * (1 - wx) * g(y0 + 1, x0) + wy * wx * g(y0 + 1, x0 + 1))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/soak/data")
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--n_train", type=int, default=48)
+    ap.add_argument("--n_test", type=int, default=8)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    rng = np.random.default_rng(args.seed)
+    for phase, n in (("train", args.n_train), ("test", args.n_test)):
+        da = os.path.join(args.out, phase + "A")
+        db = os.path.join(args.out, phase + "B")
+        os.makedirs(da, exist_ok=True)
+        os.makedirs(db, exist_ok=True)
+        for i in range(n):
+            base = _anatomy(rng, args.size)
+            # modality A: near-linear ramp; modality B: inverted gamma map
+            a_img = np.clip(base ** 1.1, 0, 1)
+            b_src = np.clip(1.0 - base, 0, 1) ** 0.6
+            # misalign B by a smooth random flow (~±6 px)
+            flow = np.stack([_smooth_noise(rng, args.size, 6, 6.0),
+                             _smooth_noise(rng, args.size, 6, 6.0)], -1)
+            b_img = _warp_bilinear(b_src, flow)
+            for d, img in ((da, a_img), (db, b_img)):
+                Image.fromarray((img * 255).astype(np.uint8)).save(
+                    os.path.join(d, f"pair_{i:03d}.png"))
+    print(f"wrote {args.n_train}+{args.n_test} pairs to {args.out}")
+
+
+if __name__ == "__main__":
+    main()
