@@ -454,9 +454,19 @@ class RegistrationModel:
 
     # -------------------------------------------------------------- steps
 
-    @functools.partial(jax.jit, static_argnums=0)
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def train_step(self, state: TrainState, real_A, real_B, rng, lr):
         """One optimization step; lr is a traced scalar (host schedules it).
+
+        ``state`` is DONATED: params + Adam moments are updated in place on
+        device (halves the optimizer-state HBM footprint of the step and
+        removes the copy XLA would otherwise emit for each updated leaf).
+        Callers must use the linear pattern ``state, m = train_step(state,
+        ...)`` — the old state's buffers are deleted afterwards (on every
+        backend, including XLA:CPU).  Callers that need the pre-step state
+        must snapshot it (``jax.tree.map(jnp.copy, state)``) BEFORE the
+        call.  Donation is a no-op when this step is inlined inside an
+        outer trace (bench/profile chains).
 
         With lambda_GAN > 0 this is the reference's two-phase step
         (registration_model.py:138-171 with the D branch): update D on
@@ -558,3 +568,16 @@ class RegistrationModel:
         _, _, _, pos_flow = self.register(params, real_A, real_B)
         det = jacobian_det(pos_flow)
         return {"jac_det": det, "folding_fraction": folding_fraction(pos_flow)}
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def flow_stats(self, params, real_A, real_B):
+        """Scalar field-health stats for in-training logging (--jac_freq):
+        everything stays on device; only scalars cross the (slow) D2H link."""
+        _, _, _, pos_flow = self.register(params, real_A, real_B)
+        det = jacobian_det(pos_flow)
+        return {
+            "fold": jnp.mean(folding_fraction(pos_flow)),  # (B,) -> scalar
+            "jac_min": jnp.min(det), "jac_max": jnp.max(det),
+            "jac_mean": jnp.mean(det),
+            "flow_max": jnp.max(jnp.abs(pos_flow)),
+        }

@@ -116,9 +116,15 @@ class VxmEngine:
         metrics = {"sim": sim, "smooth": smooth, "total": total}
         return total, metrics
 
-    @functools.partial(jax.jit, static_argnums=0)
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def train_step(self, state: VxmState, source, target, lr=None):
-        """lr is a traced scalar (host schedules it); defaults to cfg.lr."""
+        """lr is a traced scalar (host schedules it); defaults to cfg.lr.
+
+        ``state`` is DONATED (params + Adam moments update in place on
+        device); callers must be linear — ``state, m = train_step(state,
+        ...)`` — and snapshot anything they need from the pre-step state
+        BEFORE the call.  Donation is a no-op when this step is inlined
+        inside an outer trace (bench/profile chains)."""
         lr = jnp.float32(self.cfg.lr if lr is None else lr)
         grads, metrics = jax.grad(self._loss_fn, has_aux=True)(
             state.params, source, target)

@@ -45,4 +45,13 @@ def shard_batch(mesh: Mesh, arrays, ndims: int = 2, shard_spatial: bool = False)
 
 
 def replicate(mesh: Mesh, tree):
-    return jax.tree.map(lambda x: jax.device_put(x, replicated(mesh)), tree)
+    """Replicate every leaf over the mesh, with NO buffer aliasing back to
+    the input: ``jax.device_put`` reuses the source buffer as the shard
+    that already sits on the right device, which becomes a footgun once
+    either copy is passed to a donating step (``train_step`` donates its
+    state — donating the replicated state would silently delete the
+    original's buffer, and vice versa).  A jitted identity with an output
+    sharding constraint always materializes fresh buffers."""
+    sh = replicated(mesh)
+    return jax.jit(lambda t: t,
+                   out_shardings=jax.tree.map(lambda _: sh, tree))(tree)

@@ -22,21 +22,23 @@ def _step(**kw):
     rng = np.random.default_rng(0)
     A = jnp.asarray(rng.standard_normal((2, 64, 64, 1)), jnp.float32)
     B = jnp.asarray(rng.standard_normal((2, 64, 64, 1)), jnp.float32)
+    # train_step donates st — snapshot pre-step params before they are freed
+    g_before = jax.tree.map(np.asarray, st.params["G"])
     st2, metrics = m.train_step(st, A, B, jax.random.PRNGKey(1),
                                 jnp.float32(2e-4))
     assert all(np.isfinite(float(v)) for v in metrics.values()), metrics
-    return st, st2
+    return g_before, st2
 
 
 @pytest.mark.parametrize("netF", ["sample", "global_pool", "reshape",
                                   "strided_conv"])
 def test_netF_choices_train(netF):
-    st, st2 = _step(netF=netF)
+    g_before, st2 = _step(netF=netF)
     # G must still receive NCE gradients through the adapted projection
     moved = any(
-        not np.allclose(np.asarray(a), np.asarray(b))
+        not np.allclose(np.asarray(a), b)
         for a, b in zip(jax.tree.leaves(st2.params["G"]),
-                        jax.tree.leaves(st.params["G"])))
+                        jax.tree.leaves(g_before)))
     assert moved
 
 

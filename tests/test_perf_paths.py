@@ -102,10 +102,11 @@ class TestFlipEquivariance:
         state = m.init_state(jax.random.PRNGKey(0))
         A = jnp.asarray(rng.standard_normal((1, 64, 64, 1)), jnp.float32)
         B = jnp.asarray(rng.standard_normal((1, 64, 64, 1)), jnp.float32)
-        # run with keys landing on both coin outcomes
+        # run with keys landing on both coin outcomes (copy per call:
+        # train_step donates its state argument)
         vals = []
         for seed in range(4):
-            _, metrics = m.train_step(state, A, B,
+            _, metrics = m.train_step(jax.tree.map(jnp.copy, state), A, B,
                                       jax.random.PRNGKey(seed),
                                       jnp.float32(2e-4))
             vals.append(float(metrics["total"]))

@@ -22,8 +22,15 @@ def model():
 
 
 @pytest.fixture(scope="module")
-def state(model):
+def _state0(model):
     return model.init_state(jax.random.PRNGKey(0), batch_size=2)
+
+
+@pytest.fixture
+def state(_state0):
+    # train_step donates its state argument (buffers freed after the call),
+    # so hand every test a fresh copy of the module-scoped master
+    return jax.tree.map(jnp.copy, _state0)
 
 
 def batch(rng, b=2, s=32):
@@ -34,14 +41,16 @@ def batch(rng, b=2, s=32):
 
 def test_train_step_runs_and_updates(rng, model, state):
     A, B = batch(rng)
+    step0 = int(state.step)
+    params0 = jax.tree.map(np.asarray, state.params)  # pre-donation snapshot
     new_state, metrics = model.train_step(state, A, B, jax.random.PRNGKey(1),
                                           jnp.float32(2e-4))
     for k, v in metrics.items():
         assert np.isfinite(float(v)), f"{k} not finite"
-    assert int(new_state.step) == int(state.step) + 1
+    assert int(new_state.step) == step0 + 1
     # every sub-network's params must have moved (grads flow to G, F, R)
     for net in ("G", "F", "R"):
-        before = jax.tree.leaves(state.params[net])
+        before = jax.tree.leaves(params0[net])
         after = jax.tree.leaves(new_state.params[net])
         moved = any(
             not np.allclose(np.asarray(a), np.asarray(b))
@@ -139,16 +148,18 @@ def test_sharded_train_step_matches_single_device(model, state, rng):
     key = jax.random.PRNGKey(7)
     lr = jnp.float32(2e-4)
 
+    # replicate BEFORE the single-device step: train_step donates `state`
+    mesh = make_mesh()
+    As, Bs = shard_batch(mesh, (A, B))
+    sharded_state = replicate(mesh, state)
+
     grad_fn = jax.jit(jax.grad(lambda p, a, b: model._loss_fn(
         p, a, b, key)[0]))
     g_single = grad_fn(state.params, A, B)
     st_single, _ = model.train_step(state, A, B, key, lr)
 
-    mesh = make_mesh()
-    As, Bs = shard_batch(mesh, (A, B))
-    ps = replicate(mesh, state.params)
-    g_shard = grad_fn(ps, As, Bs)
-    st_shard, _ = model.train_step(replicate(mesh, state), As, Bs, key, lr)
+    g_shard = grad_fn(sharded_state.params, As, Bs)
+    st_shard, _ = model.train_step(sharded_state, As, Bs, key, lr)
 
     flat_gs = jax.tree_util.tree_leaves_with_path(g_single)
     flat_gm = jax.tree.leaves(g_shard)

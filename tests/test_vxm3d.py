@@ -83,11 +83,11 @@ class TestVxmEngine3D:
         rng = np.random.default_rng(0)
         A = jnp.asarray(rng.random((8, 16, 16, 16, 1)), jnp.float32)
         B = jnp.asarray(rng.random((8, 16, 16, 16, 1)), jnp.float32)
-        _, m_single = eng.train_step(state, A, B)
-
+        # replicate BEFORE stepping: train_step donates its state argument
         mesh = make_mesh()
         As, Bs = shard_batch(mesh, (A, B), ndims=3)
         st = replicate(mesh, state)
+        _, m_single = eng.train_step(state, A, B)
         _, m_shard = eng.train_step(st, As, Bs)
         np.testing.assert_allclose(float(m_single["total"]),
                                    float(m_shard["total"]), rtol=1e-5)
@@ -124,11 +124,12 @@ class TestVxmEngine3D:
         rng = np.random.default_rng(2)
         A = jnp.asarray(rng.random((2, 16, 16, 16, 1)), jnp.float32)
         B = jnp.asarray(rng.random((2, 16, 16, 16, 1)), jnp.float32)
-        st_single, _ = eng.train_step(state, A, B)
-
+        # replicate BEFORE stepping: train_step donates its state argument
         mesh = make_mesh(n_data=2, n_spatial=4)
         As, Bs = shard_batch(mesh, (A, B), ndims=3, shard_spatial=True)
-        st_shard, _ = eng.train_step(replicate(mesh, state), As, Bs)
+        sharded_state = replicate(mesh, state)
+        st_single, _ = eng.train_step(state, A, B)
+        st_shard, _ = eng.train_step(sharded_state, As, Bs)
 
         for (path, a), b in zip(
                 jax.tree_util.tree_leaves_with_path(st_single.params),
@@ -188,7 +189,8 @@ class TestRemat:
         state = eng_n.init_state(jax.random.PRNGKey(0))
         x = jnp.asarray(_sphere(24, (12, 12, 12), 6)[None, ..., None])
         y = jnp.asarray(_sphere(24, (14, 10, 12), 6)[None, ..., None])
-        _, m_n = eng_n.train_step(state, x, y)
+        # copy for the first call: train_step donates its state argument
+        _, m_n = eng_n.train_step(jax.tree.map(jnp.copy, state), x, y)
         _, m_r = eng_r.train_step(state, x, y)
         np.testing.assert_allclose(float(m_n["total"]),
                                    float(m_r["total"]), rtol=1e-6)
