@@ -33,11 +33,18 @@ def rng():
     return np.random.default_rng(0)
 
 
-# Persistent compilation cache: DISABLED for XLA:CPU — the AOT
-# round-trip additionally mmaps every loaded executable, which makes the
-# map-count exhaustion below strike earlier, and the loader warns about
-# unsupported "+prefer-no-scatter/+prefer-no-gather" pseudo-features.
-#
+# Persistent compilation cache: ON, tests-local dir.  AOT loads mmap every
+# loaded executable (same growth as fresh compiles) and the loader warns
+# about "+prefer-no-scatter/+prefer-no-gather" pseudo-features (cosmetic),
+# but the map-count guard below bounds the growth either way, and skipping
+# LLVM recompiles of ~200 tests' programs is the difference between a
+# ~55-minute and a ~15-minute suite on this 1-core box.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 # Map-count guard: every XLA:CPU executable holds LLVM-JIT'd code in its
 # own anonymous mmaps.  This suite compiles ~200 tests' worth of programs
 # in ONE process; measured map growth reached vm.max_map_count (65530)
@@ -63,12 +70,17 @@ def _map_count() -> int:
         return 1 << 30
 
 
-@pytest.fixture(autouse=True, scope="module")
+@pytest.fixture(autouse=True)
 def _bound_jit_executable_maps():
     yield
     # Clear ONLY when the map count actually approaches the ceiling —
     # unconditional per-module clearing kept the suite safe but quintupled
     # its wall time (every shared jitted fn recompiled every module).
+    # The check is PER TEST (a few ms to read /proc/self/maps): with the
+    # persistent AOT cache enabled, loads add mmaps at ~170/s, so one
+    # module can sprint from 40k to the 65,530 ceiling between module
+    # boundaries (observed as a mid-test Abort in LLVM).  Re-warming after
+    # a clear is cheap — executables reload from the on-disk cache.
     if _map_count() > _MAPS_CLEAR_THRESHOLD:
         import gc
 
