@@ -158,6 +158,13 @@ class RegistrationTask:
             A, B = self._batch
         return self.engine.register(self.state.params, A, B)
 
+    def registration_stats(self):
+        """Scalar deformation-health stats on the current batch (folding
+        fraction, |J| range, max displacement) — logged on --jac_freq."""
+        A, B = self._batch
+        stats = self.engine.flow_stats(self.state.params, A, B)
+        return OrderedDict((k, float(v)) for k, v in stats.items())
+
     # ---------------------------------------------------------- accessors
 
     def get_current_losses(self) -> OrderedDict:

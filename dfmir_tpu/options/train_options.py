@@ -54,5 +54,9 @@ class TrainOptions(BaseOptions):
                             help="write a jax.profiler trace here")
         parser.add_argument("--profile_steps", type=int, default=5,
                             help="number of steps to trace (after warmup)")
+        parser.add_argument("--jac_freq", type=int, default=0,
+                            help="every N iters, log scalar deformation "
+                                 "health (folding %%, |J| range, max "
+                                 "displacement) alongside the losses")
         self.isTrain = True
         return parser

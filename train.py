@@ -74,6 +74,8 @@ def main():
 
             if total_iters % opt.print_freq == 0:
                 losses = model.get_current_losses()
+                if opt.jac_freq > 0 and total_iters % opt.jac_freq == 0:
+                    losses.update(model.registration_stats())
                 visualizer.print_current_losses(
                     epoch, epoch_iter, losses, optimize_time, t_data)
                 if opt.display_id is None or opt.display_id > 0:
