@@ -54,24 +54,41 @@ BAND = 64       # source rows resident in VMEM per tile (static)
 # hand-rolled).  Module-level so experiments can flip it before first trace.
 PRECISION = "bf16x3"
 
+# Emulation level for the BIG-band 3-D backward ("bf16"/"bf16x2"/"bf16x3"),
+# or None to use the XLA VJP for fields that overflow the small band.
+# Default set by measurement on v5e — see _warp3d_bwd's docstring.
+BWD_BIG_PRECISION = None
 
-def _mxu_dot(a, b, dims):
-    """f32-accurate MXU contraction per the module PRECISION setting."""
+
+def _mxu_dot(a, b, dims, precision=None):
+    """MXU contraction at the requested emulation level (default: the
+    module PRECISION).  Levels, by native-bf16 pass count:
+      "bf16"   1 pass  — both operands rounded (~4e-3 rel per operand)
+      "bf16x2" 2 passes — hi/lo split of ``a`` only (``b`` stays rounded)
+      "bf16x3" 3 passes — hi/lo of both, lo@lo dropped (~1e-5 rel)
+    anything else is passed through as an XLA precision setting."""
+    p = precision or PRECISION
     dn = (dims, ((), ()))
-    if PRECISION != "bf16x3":
+    if p not in ("bf16", "bf16x2", "bf16x3"):
         return jax.lax.dot_general(a, b, dn,
                                    preferred_element_type=jnp.float32,
-                                   precision=PRECISION)
+                                   precision=p)
     ah = a.astype(jnp.bfloat16)
-    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
     bh = b.astype(jnp.bfloat16)
-    bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
 
     def dot(x, y):
         return jax.lax.dot_general(x, y, dn,
                                    preferred_element_type=jnp.float32)
 
-    return dot(ah, bh) + dot(ah, bl) + dot(al, bh)
+    out = dot(ah, bh)
+    if p == "bf16":
+        return out
+    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    out = out + dot(al, bh)
+    if p == "bf16x2":
+        return out
+    bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+    return out + dot(ah, bl)
 
 
 def _kernel(C, H, W, Wp, band_h, y_lo_ref, ys_ref, xs_ref, src_ref, out_ref,
@@ -370,8 +387,8 @@ def warp3d_banded(src, flow, bz: int = BZ, by: int = BY, fold: int = 4,
     return jnp.moveaxis(out, 1, -1).astype(src.dtype), ok
 
 
-def _bwd_kernel3d(C, D, H, W, Wp, bz, by, fold, y_lo_ref, z_lo_ref, zs_ref,
-                  ys_ref, xs_ref, g_ref, src_ref, dband_ref, dfz_ref,
+def _bwd_kernel3d(C, D, H, W, Wp, bz, by, fold, mm_prec, y_lo_ref, z_lo_ref,
+                  zs_ref, ys_ref, xs_ref, g_ref, src_ref, dband_ref, dfz_ref,
                   dfy_ref, dfx_ref, band, acc, sem):
     """3-D banded backward — same joint (z, y) selection algebra as the
     forward (r = (z-z_lo)*by + (y-y_lo) indexes the flattened band):
@@ -453,25 +470,33 @@ def _bwd_kernel3d(C, D, H, W, Wp, bz, by, fold, y_lo_ref, z_lo_ref, zs_ref,
         Wxd = (jnp.where(iota_src == x1c, vx1, 0.0)
                - jnp.where(iota_src == x0c, vx0, 0.0))
 
-        R = _mxu_dot(bandflat, M, ((0,), (0,)))
-        Rz = _mxu_dot(bandflat, Mdz, ((0,), (0,)))
-        Ry = _mxu_dot(bandflat, Mdy, ((0,), (0,)))
+        R = _mxu_dot(bandflat, M, ((0,), (0,)), precision=mm_prec)
+        Rz = _mxu_dot(bandflat, Mdz, ((0,), (0,)), precision=mm_prec)
+        Ry = _mxu_dot(bandflat, Mdy, ((0,), (0,)), precision=mm_prec)
         dfz_ref[0, 0, pl.ds(t, 1), :] = g * jnp.sum(Wx * Rz, axis=0,
                                                     keepdims=True)
         dfy_ref[0, 0, pl.ds(t, 1), :] = g * jnp.sum(Wx * Ry, axis=0,
                                                     keepdims=True)
         dfx_ref[0, 0, pl.ds(t, 1), :] = g * jnp.sum(Wxd * R, axis=0,
                                                     keepdims=True)
-        acc[...] = acc[...] + _mxu_dot(M, Wx * g, ((1,), (1,)))
+        acc[...] = acc[...] + _mxu_dot(M, Wx * g, ((1,), (1,)),
+                                       precision=mm_prec)
 
     dband_ref[0, 0] = acc[...].reshape(bz, by, Wp)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("bz", "by", "fold", "interpret"))
+                   static_argnames=("bz", "by", "fold", "interpret",
+                                    "precision"))
 def warp3d_banded_bwd(src, flow, g, bz: int = BZ, by: int = BY,
-                      fold: int = 2, interpret: bool = False):
-    """3-D banded backward pass: returns (dsrc, dflow, ok)."""
+                      fold: int = 2, interpret: bool = False,
+                      precision=None):
+    """3-D banded backward pass: returns (dsrc, dflow, ok).
+
+    ``precision`` overrides the selection-matmul emulation level for THIS
+    call (see ``_mxu_dot``): the bwd runs four band-area matmuls per tile,
+    so dropping passes cuts its MXU work proportionally at the cost of
+    bounded relative error in the gradient."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     from jax import lax
@@ -553,7 +578,8 @@ def warp3d_banded_bwd(src, flow, g, bz: int = BZ, by: int = BY,
         ],
     )
     dband, dfz, dfy, dfx = pl.pallas_call(
-        functools.partial(_bwd_kernel3d, C, D, H, W, Wp, bz, by, fold),
+        functools.partial(_bwd_kernel3d, C, D, H, W, Wp, bz, by, fold,
+                          precision),
         out_shape=(
             jax.ShapeDtypeStruct((B * C, n_t, bz, by, Wp), jnp.float32),
             jax.ShapeDtypeStruct((B * C, n_t, n_f, FW), jnp.float32),
@@ -895,12 +921,15 @@ def _warp3d_fwd(src, flow):
 
 
 def _warp3d_bwd(res, g):
-    """Banded Pallas backward, SMALL bands only: the bwd runs FOUR
-    selection matmuls per tile (R/Rz/Ry/dband vs the forward's one), so
-    its cost scales hard with band area — measured at 160^3 on v5e:
-    small bands 166 ms vs XLA VJP 334 ms (2x win), big bands 470 ms
-    (LOSES to XLA, hence no big branch here; both branches compute the
-    identical VJP so fwd/bwd may take different paths)."""
+    """Banded Pallas backward.  The bwd runs FOUR selection matmuls per
+    tile (R/Rz/Ry/dband vs the forward's one), so its cost scales hard
+    with band area — measured at 160^3 on v5e: small bands 166 ms vs XLA
+    VJP 334 ms (2x win), big bands 470 ms at the default bf16x3 emulation
+    (loses).  Dropping the big-band bwd to a cheaper emulation level
+    recovers the win (passes scale the MXU work 3:2:1); BWD_BIG_PRECISION
+    selects that level, or None to fall back to the XLA VJP for big-band
+    fields.  All branches compute the same VJP up to the documented error
+    envelope (see _mxu_dot / test_3d_bwd_precision_variants)."""
     from dfmir_tpu.ops.warp import warp
 
     src, flow = res
@@ -922,7 +951,21 @@ def _warp3d_bwd(res, g):
             src32, flow32)
         return vjp(g32)
 
-    dsrc, dflow = jax.lax.cond(ok_s, small, xla)
+    if BWD_BIG_PRECISION is None:
+        not_small = xla
+    else:
+        def not_small():
+            ok_b = _band3d_ok(flow32, D, H, BZ2, BY2)
+
+            def big():
+                dsrc, dflow, _ = warp3d_banded_bwd(
+                    src32, flow32, g32, bz=BZ2, by=BY2, fold=2,
+                    interpret=_INTERPRET, precision=BWD_BIG_PRECISION)
+                return dsrc, dflow
+
+            return jax.lax.cond(ok_b, big, xla)
+
+    dsrc, dflow = jax.lax.cond(ok_s, small, not_small)
     return dsrc.astype(src.dtype), dflow.astype(flow.dtype)
 
 

@@ -203,3 +203,31 @@ def test_3d_custom_vjp_matches_xla_grad(rng, monkeypatch):
     for a, b in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("precision,tol", [
+    ("bf16x3", 2e-4),   # default: hi/lo of both operands
+    ("bf16x2", 1e-2),   # band data recovered, weight matrices rounded
+    ("bf16", 3e-2),     # single native pass
+])
+def test_3d_bwd_precision_variants(rng, precision, tol):
+    """Lower emulation levels trade bounded relative gradient error for
+    proportionally fewer MXU passes (the bwd's four selection matmuls
+    scale with band area; see _mxu_dot).  In interpret mode the bf16
+    roundings are faithful, so this pins the error envelope per level."""
+    from dfmir_tpu.ops.warp_pallas import warp3d_banded_bwd
+
+    shape = (1, 24, 24, 24, 1)
+    src = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    flow = jnp.asarray(rng.standard_normal(shape[:-1] + (3,)) * 2.0,
+                       jnp.float32)
+    g = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    _, vjp = jax.vjp(lambda s, f: warp(s, f, impl="xla"), src, flow)
+    ds_ref, df_ref = vjp(g)
+    ds, df, ok = warp3d_banded_bwd(src, flow, g, fold=2, interpret=True,
+                                   precision=precision)
+    assert bool(ok)
+    scale_s = float(jnp.max(jnp.abs(ds_ref)))
+    scale_f = float(jnp.max(jnp.abs(df_ref)))
+    assert float(jnp.max(jnp.abs(ds - ds_ref))) <= tol * scale_s
+    assert float(jnp.max(jnp.abs(df - df_ref))) <= tol * scale_f
