@@ -145,3 +145,18 @@ class VxmEngine:
     def eval_step(self, params, source, target):
         _, metrics = self._loss_fn(params, source, target)
         return metrics
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def flow_stats(self, params, source, target):
+        """Scalar field-health stats for in-training logging (--jac_freq):
+        everything stays on device; only scalars cross the D2H link."""
+        from dfmir_tpu.ops import folding_fraction, jacobian_det
+
+        _, pos_flow = self.register(params, source, target)
+        det = jacobian_det(pos_flow)
+        return {
+            "fold": jnp.mean(folding_fraction(pos_flow)),
+            "jac_min": jnp.min(det), "jac_max": jnp.max(det),
+            "jac_mean": jnp.mean(det),
+            "flow_max": jnp.max(jnp.abs(pos_flow)),
+        }

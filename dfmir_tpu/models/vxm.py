@@ -109,6 +109,13 @@ class VxmTask:
         y_source, pos_flow = self.engine.register(self.state.params, A, B)
         return y_source, pos_flow
 
+    def registration_stats(self):
+        """Scalar deformation-health stats on the current batch (folding
+        fraction, |J| range, max displacement) — logged on --jac_freq."""
+        A, B = self._batch
+        stats = self.engine.flow_stats(self.state.params, A, B)
+        return OrderedDict((k, float(v)) for k, v in stats.items())
+
     # accessors -----------------------------------------------------------
     def get_current_losses(self) -> OrderedDict:
         return OrderedDict((k, float(self._losses[k]))

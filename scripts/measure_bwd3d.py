@@ -1,0 +1,120 @@
+"""On-chip decision measurement for VERDICT r2 #8: the 3-D big-band Pallas
+backward vs the XLA VJP, per selection-matmul emulation level.
+
+The small-band bwd wins 2x (166 ms vs 334 ms at 160^3 on v5e) but the
+big-band bwd at the default bf16x3 emulation measured 470 ms (loses) — its
+four selection matmuls scale with band area.  Dropping to bf16x2/bf16 cuts
+the MXU passes 3:2:1 with a bounded relative gradient error (pinned by
+tests/test_warp_pallas.py::test_3d_bwd_precision_variants at 1e-2 / 3e-2).
+This script times each level COMPILED on the TPU on a deterministic
+big-band field (y-shear, same construction as bench kernelcheck) and
+reports errors vs the XLA VJP, so BWD_BIG_PRECISION's default is a
+recorded measurement, not a guess.
+
+Usage:  python scripts/measure_bwd3d.py [--size 160] [--iters 6]
+Prints one JSON line per variant plus a "decision" line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import _measure_chained, _log  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=160)
+    ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--cpu", action="store_true",
+                    help="CPU smoke (tiny size, interpret-mode kernels; "
+                         "timings meaningless)")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dfmir_tpu.ops import warp_pallas as wp
+    from dfmir_tpu.ops.warp import warp
+    from dfmir_tpu.ops.integrate import resize_linear
+
+    S = args.size
+    rng = np.random.default_rng(0)
+    src = jnp.asarray(rng.standard_normal((1, S, S, S, 1)), jnp.float32)
+    lo = rng.standard_normal((1, S // 16, S // 16, S // 16, 3)) * 3.0
+    flow = resize_linear(jnp.asarray(lo, jnp.float32), (S, S, S))
+    # y-shear pushes the per-tile y-span over the small band (BY=32) but
+    # under the big one (BY2=48) — same construction as bench kernelcheck.
+    xx = jnp.arange(S, dtype=jnp.float32) - S / 2
+    flow = flow.at[..., 1].add(jnp.broadcast_to(0.2 * xx, (1, S, S, S)))
+    g = jnp.asarray(rng.standard_normal(src.shape), jnp.float32)
+
+    ok_small = bool(wp._band3d_ok(flow, S, S, wp.BZ, wp.BY))
+    ok_big = bool(wp._band3d_ok(flow, S, S, wp.BZ2, wp.BY2))
+    _log(f"band feasibility: small={ok_small} big={ok_big} (want F/T)")
+
+    _, vjp = jax.vjp(lambda s, f: warp(s, f, impl="xla"), src, flow)
+    ds_ref, df_ref = vjp(g)
+    scale_s = float(jnp.max(jnp.abs(ds_ref)))
+    scale_f = float(jnp.max(jnp.abs(df_ref)))
+
+    def time_variant(fn):
+        # chain through g so each step depends on the previous (bench.py
+        # methodology: the tunnel pipeline otherwise overlaps steps)
+        def step(carry):
+            (gc,) = carry
+            ds, df = fn(gc)
+            upd = (jnp.sum(jnp.ravel(ds)[:1]) + jnp.sum(jnp.ravel(df)[:1]))
+            return (gc + upd * 1e-6,)
+
+        return _measure_chained(step, (g,), args.iters)
+
+    results = {}
+
+    def xla_bwd(gc):
+        return vjp(gc)
+
+    sec = time_variant(xla_bwd)
+    results["xla_vjp"] = {"ms": round(sec * 1e3, 2)}
+    print(json.dumps({"variant": "xla_vjp", **results["xla_vjp"]}),
+          flush=True)
+
+    for prec in ("bf16x3", "bf16x2", "bf16"):
+        def pallas_bwd(gc, prec=prec):
+            ds, df, _ = wp.warp3d_banded_bwd(
+                src, flow, gc, bz=wp.BZ2, by=wp.BY2, fold=2, precision=prec,
+                interpret=args.cpu)
+            return ds, df
+
+        ds, df = pallas_bwd(g)
+        err_s = float(jnp.max(jnp.abs(ds - ds_ref))) / max(scale_s, 1e-12)
+        err_f = float(jnp.max(jnp.abs(df - df_ref))) / max(scale_f, 1e-12)
+        sec = time_variant(pallas_bwd)
+        results[prec] = {"ms": round(sec * 1e3, 2),
+                         "rel_err_dsrc": round(err_s, 6),
+                         "rel_err_dflow": round(err_f, 6)}
+        print(json.dumps({"variant": f"big_band_{prec}", **results[prec]}),
+              flush=True)
+
+    xla_ms = results["xla_vjp"]["ms"]
+    best = min(("bf16x3", "bf16x2", "bf16"),
+               key=lambda p: results[p]["ms"])
+    print(json.dumps({
+        "decision": (best if results[best]["ms"] < xla_ms else "xla_vjp"),
+        "xla_ms": xla_ms,
+        "best_pallas": {best: results[best]},
+        "note": "set dfmir_tpu.ops.warp_pallas.BWD_BIG_PRECISION accordingly",
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

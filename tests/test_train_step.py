@@ -79,6 +79,14 @@ def test_fused_nce_is_exact(rng, state):
                                    err_msg=k)
 
 
+def test_flow_stats_scalars(model, state, rng):
+    # --jac_freq path: every stat must be a finite device scalar
+    A, B = batch(rng)
+    stats = model.flow_stats(state.params, A, B)
+    for k, v in stats.items():
+        assert v.ndim == 0 and np.isfinite(float(v)), k
+
+
 def test_register_inference(model, state, rng):
     A, B = batch(rng)
     fake_B, idt_B, y_source, flow = model.register(state.params, A, B)

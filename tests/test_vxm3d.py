@@ -25,6 +25,16 @@ SMALL = VxmConfig(ndims=3, vol_size=24, enc=(8, 16), dec=(16, 16, 8),
 
 
 class TestVxmEngine3D:
+    def test_flow_stats_scalars(self):
+        # --jac_freq path: every stat must be a finite device scalar
+        eng = VxmEngine(SMALL)
+        state = eng.init_state(jax.random.PRNGKey(0))
+        x = jnp.asarray(_sphere(24, (12, 12, 12), 6)[None, ..., None])
+        y = jnp.asarray(_sphere(24, (14, 10, 12), 6)[None, ..., None])
+        stats = eng.flow_stats(state.params, x, y)
+        for k, v in stats.items():
+            assert v.ndim == 0 and np.isfinite(float(v)), k
+
     def test_shapes_and_registration_path(self):
         eng = VxmEngine(SMALL)
         state = eng.init_state(jax.random.PRNGKey(0))
