@@ -79,6 +79,18 @@ def test_fused_nce_is_exact(rng, state):
                                    err_msg=k)
 
 
+def test_train_step_donates_state(model, state, rng):
+    """Regression pin on the donation contract: the pre-step state's
+    buffers must actually be freed (donate_argnums in effect), keeping the
+    optimizer state single-buffered in device memory."""
+    A, B = batch(rng)
+    leaf = jax.tree.leaves(state.params)[0]
+    new_state, _ = model.train_step(state, A, B, jax.random.PRNGKey(1),
+                                    jnp.float32(2e-4))
+    jax.block_until_ready(new_state.params)
+    assert leaf.is_deleted()
+
+
 def test_flow_stats_scalars(model, state, rng):
     # --jac_freq path: every stat must be a finite device scalar
     A, B = batch(rng)
