@@ -46,6 +46,8 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--budget_s", type=int, default=2400)
     ap.add_argument("--reuse_data", action="store_true")
+    ap.add_argument("--gpu_ids", default=None,
+                    help="forwarded to train.py (-1 = CPU smoke)")
     args = ap.parse_args()
 
     data = os.path.join(args.workdir, "data")
@@ -76,6 +78,8 @@ def main():
         "--save_latest_freq", "1000000000", "--save_epoch_freq", "1000000",
         "--num_threads", "2",
     ]
+    if args.gpu_ids is not None:
+        cmd += ["--gpu_ids", args.gpu_ids]
     print("soak:", " ".join(cmd), flush=True)
     log_path = os.path.join(args.workdir, "train.log")
     timed_out = False
