@@ -231,12 +231,13 @@ def _bench_kernelcheck(args):
     rng = np.random.default_rng(0)
     checks = {}
 
-    def record(name, a, b):
+    def record(name, a, b, tol_override=None):
+        t = tol if tol_override is None else tol_override
         err = float(jnp.max(jnp.abs(a - b)))
         checks[name] = round(err, 8)
-        status = "ok" if err < tol else "FAIL"
+        status = "ok" if err < t else "FAIL"
         _log(f"kernelcheck {name}: max|err|={err:.2e} [{status}]")
-        return err < tol
+        return err < t
 
     ok_all = True
 
@@ -290,6 +291,26 @@ def _bench_kernelcheck(args):
                                                     bz=bz, by=by, fold=2)
             ok_all &= bool(okb3) and record("warp3d_bwd_dsrc", dsp3, dsr3)
             ok_all &= record("warp3d_bwd_dflow", dfp3, dfr3)
+        elif wp.BWD_BIG_PRECISION is not None:
+            # big-band bwd ships at a reduced emulation level; gate at the
+            # envelope pinned by test_3d_bwd_precision_variants
+            big_tol = {"bf16x3": 2e-4, "bf16x2": 1e-2,
+                       "bf16": 3e-2}[wp.BWD_BIG_PRECISION]
+            g3 = jnp.asarray(rng.standard_normal(src3.shape), jnp.float32)
+            _, vjp3 = jax.vjp(lambda s, f: warp(s, f, impl="xla"),
+                              src3, flow3)
+            dsr3, dfr3 = vjp3(g3)
+            dsp3, dfp3, okb3 = wp.warp3d_banded_bwd(
+                src3, flow3, g3, bz=bz, by=by, fold=2,
+                precision=wp.BWD_BIG_PRECISION)
+            scale_s = float(jnp.max(jnp.abs(dsr3)))
+            scale_f = float(jnp.max(jnp.abs(dfr3)))
+            ok_all &= bool(okb3) and record(
+                "warp3d_bwd_big_dsrc", dsp3 / max(scale_s, 1e-12),
+                dsr3 / max(scale_s, 1e-12), tol_override=big_tol)
+            ok_all &= record(
+                "warp3d_bwd_big_dflow", dfp3 / max(scale_f, 1e-12),
+                dfr3 / max(scale_f, 1e-12), tol_override=big_tol)
 
     return {"metric": "kernelcheck_pass", "value": 1.0 if ok_all else 0.0,
             "unit": "bool", "vs_baseline": None,
