@@ -332,7 +332,29 @@ def main() -> None:
                     help="skip the train-step extra in register mode")
     args = ap.parse_args()
 
-    _log(f"mode={args.mode} dtype={args.dtype}; importing jax")
+    # Tunnel watchdog BEFORE importing jax in this process: when the axon
+    # TPU tunnel is down, backend init hangs indefinitely (observed a
+    # multi-hour outage), which would burn the driver's whole timeout
+    # (round-2's rc=124).  Probe in a subprocess with a hard deadline and
+    # fail fast + loud instead.
+    _log(f"mode={args.mode} dtype={args.dtype}; probing backend (180 s cap)")
+    import subprocess
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.default_backend())"],
+            capture_output=True, text=True, timeout=180)
+        backend = (probe.stdout or "").strip().splitlines()[-1:] or ["?"]
+        _log(f"backend probe: rc={probe.returncode} backend={backend[0]}")
+        if probe.returncode != 0:
+            _log("backend init FAILED; stderr tail: "
+                 + (probe.stderr or "")[-500:])
+            sys.exit(3)
+    except subprocess.TimeoutExpired:
+        _log("backend init HUNG >180 s — TPU tunnel down; aborting fast "
+             "instead of burning the driver timeout")
+        sys.exit(3)
+
     import jax
     import jax.numpy as jnp
     import numpy as np
