@@ -57,6 +57,57 @@ def _emit(payload: dict) -> None:
     print(json.dumps(payload), flush=True)
 
 
+_REAL_INIT = False
+
+
+def _init_on_cpu(thunk):
+    """Materialize a param/state pytree for benchmarking without paying any
+    device compile.
+
+    Timing on the MXU is value-independent (no data-dependent branching in
+    the nets; the Pallas band predicate sees the same near-zero flows a real
+    N(0,1e-5) flow-head init produces), so the benchmark only needs the
+    right SHAPES on device: ``jax.eval_shape`` traces the init abstractly
+    (no FLOPs, no compile), the leaves materialize as host zeros, and one
+    ``device_put`` ships the tree.  Cold init was measured at ~400 s over
+    the tunnel (two ~200 s program compiles) and ~350 s CPU-traced (XLA:CPU
+    compiles each op of flax's eager init); this path is ~2 s.
+
+    ``--real_init`` instead runs the real init on the CPU backend and
+    transfers the values (for eyeballing real loss magnitudes)."""
+    import jax
+    import numpy as np
+
+    if _REAL_INIT and jax.default_backend() != "cpu":
+        try:
+            cpu = jax.devices("cpu")[0]
+        except Exception:
+            return thunk()
+        with jax.default_device(cpu):
+            out = thunk()
+        return jax.device_put(out, jax.devices()[0])
+    shapes = jax.eval_shape(thunk)
+
+    # Leaf-aware values: all-zero params NaN the TRAIN path (L2-normalize of
+    # exactly-zero NCE features, sqrt-grad at 0), so mimic the real init
+    # distribution — norm scales at 1, everything else float at N(0, 0.02),
+    # ints (Adam count / step) at 0.  Still zero device compiles.
+    def leaf(path, s):
+        name = str(path[-1]) if path else ""
+        keystr = jax.tree_util.keystr(path)
+        # Optimizer state starts at the REAL init values (zeros): a random
+        # Adam second moment can be negative -> sqrt(neg) -> NaN.
+        if not np.issubdtype(s.dtype, np.floating) or "opt_state" in keystr:
+            return np.zeros(s.shape, s.dtype)
+        if "scale" in name:
+            return np.ones(s.shape, s.dtype)
+        rng = np.random.default_rng(abs(hash(keystr)) % (2 ** 32))
+        return (rng.standard_normal(s.shape) * 0.02).astype(s.dtype)
+
+    host = jax.tree_util.tree_map_with_path(leaf, shapes)
+    return jax.device_put(host, jax.devices()[0])
+
+
 def _measure_chained(step_fn, init_carry, n_long, n_short=2, reps=3):
     """Time data-chained steps inside one jitted fori_loop; returns
     seconds/step via the slope between a short and a long chain.  The trip
@@ -159,7 +210,7 @@ def _bench_train3d(args):
     S = args.size if args.size != 256 else 160
     cfg = VxmConfig(vol_size=S, batch_size=1, compute_dtype=args.dtype)
     eng = VxmEngine(cfg)
-    state = eng.init_state(jax.random.PRNGKey(0))
+    state = _init_on_cpu(lambda: eng.init_state(jax.random.PRNGKey(0)))
     rng = np.random.default_rng(0)
     shape = (1, S, S, S, 1)
     src = jnp.asarray(rng.standard_normal(shape), jnp.float32)
@@ -189,9 +240,11 @@ def _bench_train(args, model=None, B_arr=None):
                                  compute_dtype=args.dtype)
         model = RegistrationModel(cfg)
     _log("train: init_state (netG+netF+netR)")
-    # params/opt-state are batch-independent: init at batch 1 (cheapest
-    # programs; all cached persistently after the first priming run)
-    state = model.init_state(jax.random.PRNGKey(0), batch_size=1)
+    # params/opt-state are batch-independent: init at batch 1 on the CPU
+    # backend (each cold init program costs ~200 s to compile over the
+    # tunnel; CPU traces in seconds and the pytree transfers once)
+    state = _init_on_cpu(
+        lambda: model.init_state(jax.random.PRNGKey(0), batch_size=1))
     rng = np.random.default_rng(0)
     shape = (args.batch, args.size, args.size, 1)
     A = jnp.asarray(rng.standard_normal(shape), jnp.float32)
@@ -330,7 +383,13 @@ def main() -> None:
                     choices=["float32", "bfloat16"])
     ap.add_argument("--no-extra", action="store_true",
                     help="skip the train-step extra in register mode")
+    ap.add_argument("--real_init", action="store_true",
+                    help="CPU-trace the real param init instead of the "
+                         "shape-only zeros materialization (slow; values "
+                         "do not affect MXU timing)")
     args = ap.parse_args()
+    global _REAL_INIT
+    _REAL_INIT = args.real_init
 
     # Tunnel watchdog BEFORE importing jax in this process: when the axon
     # TPU tunnel is down, backend init hangs indefinitely (observed a
@@ -408,14 +467,18 @@ def main() -> None:
     # the tunnel) netF init for the headline.  Batch-1 inits — params are
     # batch-independent and the programs land in the persistent cache, so
     # the driver's run pays seconds, not the ~200 s cold compile.
-    _log("register: init netG+netR params")
-    kG, kR = jax.random.split(jax.random.PRNGKey(0))
+    _log("register: materialize netG+netR params (shape-only)")
     shape = (args.batch, args.size, args.size, 1)
-    zeros1 = jnp.zeros((1,) + shape[1:], jnp.float32)
-    params = {
-        "G": model.netG.init(kG, zeros1)["params"],
-        "R": model.netR.init(kR, zeros1, zeros1)["params"],
-    }
+
+    def _mk_params():
+        kG, kR = jax.random.split(jax.random.PRNGKey(0))
+        zeros1 = jnp.zeros((1,) + shape[1:], jnp.float32)
+        return {
+            "G": model.netG.init(kG, zeros1)["params"],
+            "R": model.netR.init(kR, zeros1, zeros1)["params"],
+        }
+
+    params = _init_on_cpu(_mk_params)
 
     rng = np.random.default_rng(0)
     A = jnp.asarray(rng.standard_normal(shape), jnp.float32)
@@ -457,7 +520,7 @@ def main() -> None:
     # (same metric/value, extra enriched) only replaces it if it lands.
     if args.no_extra:
         return
-    cutoff = float(os.environ.get("BENCH_EXTRA_CUTOFF_S", "300"))
+    cutoff = float(os.environ.get("BENCH_EXTRA_CUTOFF_S", "240"))
     elapsed = time.perf_counter() - T0
     if elapsed > cutoff:
         headline["extra"]["train_step_skipped"] = "budget"

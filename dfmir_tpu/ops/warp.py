@@ -198,6 +198,13 @@ def _default_impl(src, flow, mode):
     # (measured 10.6x over the XLA gather at 256^2x8, f32-exact).
     try:
         on_tpu = jax.default_backend() == "tpu"
+        # jax.default_device(cpu_dev) redirects placement/compilation to the
+        # CPU while default_backend() still reports "tpu" — honor it, or a
+        # CPU-context trace (e.g. param init off the tunnel) would embed a
+        # pallas_call that Mosaic cannot lower for CPU.
+        dd = getattr(jax.config, "jax_default_device", None)
+        if dd is not None and getattr(dd, "platform", "tpu") != "tpu":
+            on_tpu = False
     except Exception:
         on_tpu = False
     if on_tpu:
