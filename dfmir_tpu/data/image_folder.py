@@ -29,3 +29,35 @@ def make_dataset(directory: str,
     if max_dataset_size is not None and max_dataset_size != float("inf"):
         images = images[: int(max_dataset_size)]
     return images
+
+
+# ---------------------------------------------------------------- cache
+# Decoded-image cache: epochs re-read the same files, and PIL decode
+# dominates host data time on small datasets (flips/crops happen AFTER
+# retrieval and never mutate the cached image — PIL ops return copies).
+# Byte-capped, insert-only (training sets are re-visited uniformly, so
+# eviction buys nothing); thread-safe under the GIL.
+_CACHE: dict = {}
+_CACHE_BYTES = [0]
+
+
+def load_image(path: str, grayscale: bool = True, cache_mb: float = 0):
+    """Open (and optionally grayscale-convert) an image, caching the
+    decoded result up to ``cache_mb`` total megabytes (0 = no caching)."""
+    from PIL import Image
+
+    key = (path, grayscale)
+    img = _CACHE.get(key)
+    if img is not None:
+        return img
+    img = Image.open(path)
+    if grayscale and img.mode != "L":
+        img = img.convert("L")
+    else:
+        img.load()  # force decode so the cached object is not lazy
+    if cache_mb:
+        nbytes = img.size[0] * img.size[1] * len(img.getbands())
+        if _CACHE_BYTES[0] + nbytes <= cache_mb * (1 << 20):
+            _CACHE[key] = img
+            _CACHE_BYTES[0] += nbytes
+    return img

@@ -123,9 +123,15 @@ def apply_transform(opt, img: Image.Image,
                     grayscale: bool = True,
                     method=Image.BICUBIC,
                     convert: bool = True,
-                    rng: Optional[np.random.Generator] = None):
+                    rng: Optional[np.random.Generator] = None,
+                    out_dtype: str = "float32"):
     """The full reference chain; returns HWC float32 in [-1,1] (or the PIL
-    image if convert=False, for label maps warped with nearest)."""
+    image if convert=False, for label maps warped with nearest).
+
+    out_dtype="uint8" skips the final normalize and returns the raw HWC
+    uint8 pixels: the whole chain is PIL-native (uint8 end to end), so
+    shipping 1 byte/px to the device and applying the normalize there
+    matches the float path to 1 ulp while cutting host->device bytes 4x."""
     rng = rng or np.random.default_rng()
     pre = opt.preprocess
     if grayscale and img.mode != "L":
@@ -162,4 +168,7 @@ def apply_transform(opt, img: Image.Image,
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
     if not convert:
         return img
+    if out_dtype == "uint8":
+        arr = np.asarray(img, dtype=np.uint8)
+        return arr[:, :, None] if arr.ndim == 2 else arr
     return to_array(img, grayscale)

@@ -21,7 +21,7 @@ from typing import Dict
 import numpy as np
 from PIL import Image
 
-from dfmir_tpu.data.image_folder import make_dataset
+from dfmir_tpu.data.image_folder import load_image, make_dataset
 from dfmir_tpu.data.transforms import apply_transform
 
 
@@ -68,12 +68,18 @@ class UnalignedDataset:
         B_path = self.B_paths[index % self.B_size]
         rng = np.random.default_rng(
             (self.seed, self.current_epoch, index))
-        A_img = Image.open(A_path)
-        B_img = Image.open(B_path)
+        cache_mb = float(getattr(self.opt, "cache_images_mb", 0) or 0)
+        A_img = load_image(A_path, grayscale=True, cache_mb=cache_mb)
+        B_img = load_image(B_path, grayscale=True, cache_mb=cache_mb)
         if self.isTrain and rng.random() > 0.5:
             A_img = A_img.transpose(Image.FLIP_LEFT_RIGHT)
             B_img = B_img.transpose(Image.FLIP_LEFT_RIGHT)
         opt = self._effective_opt()
-        A = apply_transform(opt, A_img, grayscale=True, rng=rng)
-        B = apply_transform(opt, B_img, grayscale=True, rng=rng)
+        # uint8 transfer: ship raw pixels (1 byte/px) and normalize on
+        # device — exact vs the float path, 4x less H2D traffic.
+        dt = "uint8" if getattr(opt, "uint8_transfer", False) else "float32"
+        A = apply_transform(opt, A_img, grayscale=True, rng=rng,
+                            out_dtype=dt)
+        B = apply_transform(opt, B_img, grayscale=True, rng=rng,
+                            out_dtype=dt)
         return {"A": A, "B": B, "A_paths": A_path, "B_paths": B_path}

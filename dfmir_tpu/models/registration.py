@@ -28,6 +28,14 @@ from dfmir_tpu.parallel import make_mesh, replicate, shard_batch
 from dfmir_tpu.utils.util import str2bool
 
 
+@jax.jit
+def _dequant_u8(x):
+    """Device-side ToTensor+Normalize(0.5,0.5): uint8 -> f32 in [-1,1].
+    Within 1 ulp of the host float path (XLA may fuse /255*2 into one
+    multiply); pinned by tests/test_pipeline.py."""
+    return x.astype(jnp.float32) / 255.0 * 2.0 - 1.0
+
+
 class RegistrationTask:
     @staticmethod
     def modify_commandline_options(parser, is_train=True):
@@ -126,12 +134,20 @@ class RegistrationTask:
 
     def set_input(self, batch):
         AtoB = self.opt.direction == "AtoB"
-        A = np.asarray(batch["A" if AtoB else "B"], np.float32)
-        B = np.asarray(batch["B" if AtoB else "A"], np.float32)
+        A = np.asarray(batch["A" if AtoB else "B"])
+        B = np.asarray(batch["B" if AtoB else "A"])
+        # uint8 batches ship raw pixels (4x less H2D) and dequantize on
+        # device; float batches are already normalized on the host.
+        dequant = A.dtype == np.uint8
+        if not dequant:
+            A, B = A.astype(np.float32, copy=False), \
+                B.astype(np.float32, copy=False)
         if self.mesh is not None:
             A, B = shard_batch(self.mesh, (A, B))
         else:
             A, B = jnp.asarray(A), jnp.asarray(B)
+        if dequant:
+            A, B = _dequant_u8(A), _dequant_u8(B)
         self._batch = (A, B)
         self.image_paths = batch.get("A_paths")
 

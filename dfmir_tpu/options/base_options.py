@@ -73,6 +73,17 @@ class BaseOptions:
         parser.add_argument("--direction", type=str, default="AtoB")
         parser.add_argument("--serial_batches", action="store_true")
         parser.add_argument("--num_threads", default=0, type=int)
+        parser.add_argument("--cache_images_mb", type=float, default=512,
+                            help="cache decoded images in host RAM up to "
+                                 "this many MB (0 disables); epochs re-read "
+                                 "the same files and PIL decode dominates "
+                                 "host data time on small datasets")
+        parser.add_argument("--uint8_transfer", type=str2bool, nargs="?",
+                            const=True, default=True,
+                            help="ship image batches host->device as raw "
+                                 "uint8 pixels and normalize on device "
+                                 "(exact vs the float path, 4x less "
+                                 "transfer)")
         parser.add_argument("--batch_size", type=int, default=1)
         parser.add_argument("--load_size", type=int, default=256)
         parser.add_argument("--crop_size", type=int, default=256)
@@ -155,5 +166,28 @@ class BaseOptions:
             import jax
 
             jax.config.update("jax_platforms", "cpu")
+        else:
+            # Persistent compile cache for accelerator runs: over the axon
+            # TPU tunnel a cold 256^2 train-step program costs minutes to
+            # compile; cached executables load in seconds, so repeat
+            # trainings (and the bench/soak harnesses, which share the
+            # cache dir) skip the cold start.  CPU stays uncached — XLA:CPU
+            # AOT loads burn mmaps (see tests/conftest.py).
+            import jax
+
+            try:
+                forced = getattr(jax.config, "jax_platforms", None)
+                if forced and "cpu" in str(forced):
+                    raise RuntimeError("platform forced to cpu")
+                cache = os.path.join(
+                    os.path.dirname(os.path.dirname(os.path.dirname(
+                        os.path.abspath(__file__)))), ".jax_cache")
+                jax.config.update("jax_compilation_cache_dir", cache)
+                jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", 2.0)
+                jax.config.update(
+                    "jax_persistent_cache_min_entry_size_bytes", 0)
+            except Exception:
+                pass  # the cache is an optimization, never a failure
         self.opt = opt
         return opt

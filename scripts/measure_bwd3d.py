@@ -54,13 +54,22 @@ def main():
     flow = resize_linear(jnp.asarray(lo, jnp.float32), (S, S, S))
     # y-shear pushes the per-tile y-span over the small band (BY=32) but
     # under the big one (BY2=48) — same construction as bench kernelcheck.
+    # The per-tile span scales with shear*S, so the coefficient must adapt
+    # to --size: scan for one that lands in the small<span<=big window.
     xx = jnp.arange(S, dtype=jnp.float32) - S / 2
-    flow = flow.at[..., 1].add(jnp.broadcast_to(0.2 * xx, (1, S, S, S)))
+    base = flow
+    for coef in (0.15, 0.12, 0.18, 0.10, 0.08, 0.2, 0.06):
+        flow = base.at[..., 1].add(jnp.broadcast_to(coef * xx, (1, S, S, S)))
+        ok_small = bool(wp._band3d_ok(flow, S, S, wp.BZ, wp.BY))
+        ok_big = bool(wp._band3d_ok(flow, S, S, wp.BZ2, wp.BY2))
+        _log(f"shear {coef}: small={ok_small} big={ok_big} (want F/T)")
+        if not ok_small and ok_big:
+            break
+    else:
+        _log("no shear coefficient lands in the big-band-only window; "
+             "the measurement would not exercise the big band — aborting")
+        sys.exit(2)
     g = jnp.asarray(rng.standard_normal(src.shape), jnp.float32)
-
-    ok_small = bool(wp._band3d_ok(flow, S, S, wp.BZ, wp.BY))
-    ok_big = bool(wp._band3d_ok(flow, S, S, wp.BZ2, wp.BY2))
-    _log(f"band feasibility: small={ok_small} big={ok_big} (want F/T)")
 
     _, vjp = jax.vjp(lambda s, f: warp(s, f, impl="xla"), src, flow)
     ds_ref, df_ref = vjp(g)

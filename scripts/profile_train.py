@@ -36,13 +36,14 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from bench import _measure_chained
+    from bench import _init_on_cpu, _measure_chained
     from dfmir_tpu.engine import RegistrationConfig, RegistrationModel
 
     cfg = RegistrationConfig(crop_size=args.size, batch_size=args.batch,
                              compute_dtype=args.dtype)
     model = RegistrationModel(cfg)
-    state = model.init_state(jax.random.PRNGKey(0), batch_size=args.batch)
+    state = _init_on_cpu(
+        lambda: model.init_state(jax.random.PRNGKey(0), batch_size=1))
     rng = np.random.default_rng(0)
     shape = (args.batch, args.size, args.size, 1)
     A = jnp.asarray(rng.standard_normal(shape), jnp.float32)

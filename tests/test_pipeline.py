@@ -63,6 +63,33 @@ class TestTransforms:
         b = apply_transform(opt, img, params=TransformParams(flip=True))
         np.testing.assert_allclose(a, b[:, ::-1])
 
+    def test_uint8_transfer_matches_float_path(self, tmp_path):
+        """uint8 pixels + device-side dequant == host float normalize
+        within 1 ulp (the transform chain is PIL/uint8 end to end)."""
+        from dfmir_tpu.models.registration import _dequant_u8
+
+        img = Image.fromarray(
+            (np.random.default_rng(3).random((100, 90)) * 255).astype(
+                np.uint8))
+        opt = _opt(str(tmp_path))
+        f = apply_transform(opt, img, rng=np.random.default_rng(5))
+        u = apply_transform(opt, img, rng=np.random.default_rng(5),
+                            out_dtype="uint8")
+        assert u.dtype == np.uint8 and u.shape == f.shape
+        d = np.asarray(_dequant_u8(u))
+        assert np.abs(d - f).max() <= 1.2e-7
+
+    def test_decoded_image_cache(self, tmp_path):
+        from dfmir_tpu.data.image_folder import load_image
+
+        p = tmp_path / "x.png"
+        Image.fromarray(np.zeros((8, 8), np.uint8)).save(p)
+        a = load_image(str(p), cache_mb=8)
+        b = load_image(str(p), cache_mb=8)
+        assert a is b and a.mode == "L"
+        c = load_image(str(p), grayscale=False, cache_mb=8)
+        assert c is not a
+
 
 class TestUnaligned:
     def test_pairing_and_len(self, tmp_path):
