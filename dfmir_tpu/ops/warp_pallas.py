@@ -56,8 +56,14 @@ PRECISION = "bf16x3"
 
 # Emulation level for the BIG-band 3-D backward ("bf16"/"bf16x2"/"bf16x3"),
 # or None to use the XLA VJP for fields that overflow the small band.
-# Default set by measurement on v5e — see _warp3d_bwd's docstring.
-BWD_BIG_PRECISION = None
+# Default set by measurement on v5e at 160^3 (scripts/measure_bwd3d.py,
+# recorded in BWD3D_r03.json): XLA VJP 332 ms; big-band bwd bf16x3 465 ms
+# (loses), bf16x2 341 ms (ties), bf16 193 ms — a 1.72x win at 0.3% relative
+# gradient error (envelope 3e-2 pinned by test_3d_bwd_precision_variants
+# and gated on hardware by bench --mode kernelcheck).  Note the VMEM
+# budget: bf16x3/bf16x2 at 160^3 need fold=1 (fold=2 overflows the 16M
+# scoped-vmem limit); the dispatch below uses fold=2, which fits at bf16.
+BWD_BIG_PRECISION = "bf16"
 
 
 def _mxu_dot(a, b, dims, precision=None):

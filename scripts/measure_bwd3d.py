@@ -78,49 +78,87 @@ def main():
 
     def time_variant(fn):
         # chain through g so each step depends on the previous (bench.py
-        # methodology: the tunnel pipeline otherwise overlaps steps)
+        # methodology: the tunnel pipeline otherwise overlaps steps).
+        # src/flow ride in the carry as ARGUMENTS: a closure-captured 160^3
+        # array is embedded into the HLO as a constant, and the tunnel's
+        # remote-compile endpoint rejects the multi-MB request (HTTP 413).
         def step(carry):
-            (gc,) = carry
-            ds, df = fn(gc)
-            upd = (jnp.sum(jnp.ravel(ds)[:1]) + jnp.sum(jnp.ravel(df)[:1]))
-            return (gc + upd * 1e-6,)
+            gc, s, f = carry
+            outs = fn(gc, s, f)
+            upd = sum(jnp.sum(jnp.ravel(o)[:1]) for o in outs)
+            return (gc + upd * 1e-6, s, f)
 
-        return _measure_chained(step, (g,), args.iters)
+        return _measure_chained(step, (g, src, flow), args.iters)
 
     results = {}
 
-    def xla_bwd(gc):
-        return vjp(gc)
+    # The XLA bwd-only time cannot be isolated without embedding residual
+    # constants, so estimate it as (fwd+bwd) - (fwd); both programs take
+    # src/flow as arguments.
+    def xla_fwd(gc, s, f):
+        # 1e-30*gc: numerically nil but NOT simplifiable to a constant —
+        # without the data dependence XLA would hoist the loop-invariant
+        # warp out of the fori_loop and the slope would measure nothing.
+        return (warp(s + gc * 1e-30, f, impl="xla"),)
 
-    sec = time_variant(xla_bwd)
-    results["xla_vjp"] = {"ms": round(sec * 1e3, 2)}
+    def xla_fwdbwd(gc, s, f):
+        _, vj = jax.vjp(lambda ss, ff: warp(ss, ff, impl="xla"), s, f)
+        return vj(gc)
+
+    sec_fwd = time_variant(xla_fwd)
+    sec_fwdbwd = time_variant(xla_fwdbwd)
+    results["xla_vjp"] = {
+        "ms": round((sec_fwdbwd - sec_fwd) * 1e3, 2),
+        "fwd_ms": round(sec_fwd * 1e3, 2),
+        "fwdbwd_ms": round(sec_fwdbwd * 1e3, 2),
+        "method": "fwdbwd minus fwd",
+    }
     print(json.dumps({"variant": "xla_vjp", **results["xla_vjp"]}),
           flush=True)
 
     for prec in ("bf16x3", "bf16x2", "bf16"):
-        def pallas_bwd(gc, prec=prec):
-            ds, df, _ = wp.warp3d_banded_bwd(
-                src, flow, gc, bz=wp.BZ2, by=wp.BY2, fold=2, precision=prec,
-                interpret=args.cpu)
-            return ds, df
+        # The big band's VMEM footprint scales with fold: fold=2 measured
+        # 19.8M scoped vmem at 160^3 (over the 16M limit), so walk down.
+        entry = None
+        for fold in (2, 1):
+            def pallas_bwd(gc, s, f, prec=prec, fold=fold):
+                ds, df, _ = wp.warp3d_banded_bwd(
+                    s, f, gc, bz=wp.BZ2, by=wp.BY2, fold=fold,
+                    precision=prec, interpret=args.cpu)
+                return ds, df
 
-        ds, df = pallas_bwd(g)
-        err_s = float(jnp.max(jnp.abs(ds - ds_ref))) / max(scale_s, 1e-12)
-        err_f = float(jnp.max(jnp.abs(df - df_ref))) / max(scale_f, 1e-12)
-        sec = time_variant(pallas_bwd)
-        results[prec] = {"ms": round(sec * 1e3, 2),
+            try:
+                ds, df = pallas_bwd(g, src, flow)
+                err_s = (float(jnp.max(jnp.abs(ds - ds_ref)))
+                         / max(scale_s, 1e-12))
+                err_f = (float(jnp.max(jnp.abs(df - df_ref)))
+                         / max(scale_f, 1e-12))
+                sec = time_variant(pallas_bwd)
+                entry = {"ms": round(sec * 1e3, 2), "fold": fold,
                          "rel_err_dsrc": round(err_s, 6),
                          "rel_err_dflow": round(err_f, 6)}
-        print(json.dumps({"variant": f"big_band_{prec}", **results[prec]}),
+                break
+            except Exception as e:
+                _log(f"big_band_{prec} fold={fold} failed: {repr(e)[:160]}")
+                entry = {"ms": None, "fold": fold,
+                         "error": repr(e)[:200]}
+        results[prec] = entry
+        print(json.dumps({"variant": f"big_band_{prec}", **entry}),
               flush=True)
 
     xla_ms = results["xla_vjp"]["ms"]
-    best = min(("bf16x3", "bf16x2", "bf16"),
-               key=lambda p: results[p]["ms"])
+    ok_precs = [p for p in ("bf16x3", "bf16x2", "bf16")
+                if results[p].get("ms") is not None]
+    if ok_precs:
+        best = min(ok_precs, key=lambda p: results[p]["ms"])
+        decision = best if results[best]["ms"] < xla_ms else "xla_vjp"
+        best_entry = {best: results[best]}
+    else:
+        decision, best_entry = "xla_vjp", {"all_variants_failed": results}
     print(json.dumps({
-        "decision": (best if results[best]["ms"] < xla_ms else "xla_vjp"),
+        "decision": decision,
         "xla_ms": xla_ms,
-        "best_pallas": {best: results[best]},
+        "best_pallas": best_entry,
         "note": "set dfmir_tpu.ops.warp_pallas.BWD_BIG_PRECISION accordingly",
     }), flush=True)
 
