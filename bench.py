@@ -325,7 +325,12 @@ def _bench_kernelcheck(args):
     shear = jnp.broadcast_to(0.3 * xx, (1, S, S, S))
     flow_big = (flow_small.at[..., 1].add(shear)
                 if hasattr(flow_small, "at") else flow_small)
+    flow_tiny = resize_linear(
+        jnp.asarray(rng.standard_normal(
+            (1, S // 16, S // 16, S // 16, 3)) * 0.8, jnp.float32),
+        (S, S, S))
     for name, flow3, bz, by, fold in (
+            ("tiny", flow_tiny, wp.BZ0, wp.BY0, 4),
             ("small", flow_small, wp.BZ, wp.BY, 4),
             ("big", flow_big, wp.BZ2, wp.BY2, 2)):
         ref3 = warp(src3, flow3, impl="xla")
@@ -335,15 +340,17 @@ def _bench_kernelcheck(args):
             ok_all = False
             continue
         ok_all &= record(f"warp3d_fwd_{name}", out3, ref3)
-        if name == "small":
+        if name in ("tiny", "small"):
             g3 = jnp.asarray(rng.standard_normal(src3.shape), jnp.float32)
             _, vjp3 = jax.vjp(lambda s, f: warp(s, f, impl="xla"),
                               src3, flow3)
             dsr3, dfr3 = vjp3(g3)
             dsp3, dfp3, okb3 = wp.warp3d_banded_bwd(src3, flow3, g3,
                                                     bz=bz, by=by, fold=2)
-            ok_all &= bool(okb3) and record("warp3d_bwd_dsrc", dsp3, dsr3)
-            ok_all &= record("warp3d_bwd_dflow", dfp3, dfr3)
+            sfx = "" if name == "small" else f"_{name}"
+            ok_all &= bool(okb3) and record(f"warp3d_bwd_dsrc{sfx}",
+                                            dsp3, dsr3)
+            ok_all &= record(f"warp3d_bwd_dflow{sfx}", dfp3, dfr3)
         elif wp.BWD_BIG_PRECISION is not None:
             # big-band bwd ships at a reduced emulation level; gate at the
             # envelope pinned by test_3d_bwd_precision_variants

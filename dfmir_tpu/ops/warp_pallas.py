@@ -232,8 +232,13 @@ def warp2d_banded(src, flow, interpret: bool = False):
     return jnp.moveaxis(out, 1, -1).astype(src.dtype), ok
 
 
-BZ = 16        # 3-D: source z-slices resident per tile (small variant)
-BY = 32        # 3-D: source y-rows resident per tile (small variant)
+BZ0 = 8        # 3-D: tiny variant — covers per-tile spans of |dz|<~3,
+BY0 = 32       #      |dy|<~7 (VecInt's early squarings: displacement
+#               starts at flow/2^int_steps and doubles per step, so most
+#               of the serial chain runs at HALF the small band's MXU work
+#               — selection-matmul FLOPs scale with band area bz*by)
+BZ = 16        # small variant: source z-slices / y-rows resident per tile
+BY = 32
 BZ2 = 32       # big variant — engages on ~±18-voxel smooth flows whose
 BY2 = 48       # long-range variation overflows the small bands
 
@@ -890,36 +895,44 @@ def _band3d_ok(flow, D, H, bz, by):
 
 @jax.custom_vjp
 def _warp3d(src, flow):
-    """Cascade: small bands (cheapest selection matmul) -> big bands
-    (covers ~±18-voxel smooth registration fields) -> XLA gather path.
-    Each kernel runs only inside its taken ``lax.cond`` branch."""
+    """Cascade: tiny -> small -> big bands (selection-matmul cost scales
+    with band area) -> XLA gather path.  Each feasibility scan runs only
+    after the cheaper band failed, and each kernel runs only inside its
+    taken ``lax.cond`` branch."""
     from dfmir_tpu.ops.warp import warp
 
     src32 = src.astype(jnp.float32)
     flow32 = flow.astype(jnp.float32)
     D, H = src.shape[1], src.shape[2]
-    ok_s = _band3d_ok(flow32, D, H, BZ, BY)
+    ok_t = _band3d_ok(flow32, D, H, BZ0, BY0)
 
-    def small():
-        return warp3d_banded(src32, flow32, bz=BZ, by=BY, fold=4,
+    def tiny():
+        return warp3d_banded(src32, flow32, bz=BZ0, by=BY0, fold=4,
                              interpret=_INTERPRET)[0]
 
-    def not_small():
-        # big-band feasibility scan only runs when the small band already
-        # failed (the common smooth-field case never pays for it)
-        ok_b = _band3d_ok(flow32, D, H, BZ2, BY2)
+    def not_tiny():
+        ok_s = _band3d_ok(flow32, D, H, BZ, BY)
 
-        def big():
-            return warp3d_banded(src32, flow32, bz=BZ2, by=BY2, fold=2,
+        def small():
+            return warp3d_banded(src32, flow32, bz=BZ, by=BY, fold=4,
                                  interpret=_INTERPRET)[0]
 
-        def xla():
-            return warp(src, flow, mode="bilinear",
-                        impl="xla").astype(jnp.float32)
+        def not_small():
+            ok_b = _band3d_ok(flow32, D, H, BZ2, BY2)
 
-        return jax.lax.cond(ok_b, big, xla)
+            def big():
+                return warp3d_banded(src32, flow32, bz=BZ2, by=BY2,
+                                     fold=2, interpret=_INTERPRET)[0]
 
-    return jax.lax.cond(ok_s, small, not_small).astype(src.dtype)
+            def xla():
+                return warp(src, flow, mode="bilinear",
+                            impl="xla").astype(jnp.float32)
+
+            return jax.lax.cond(ok_b, big, xla)
+
+        return jax.lax.cond(ok_s, small, not_small)
+
+    return jax.lax.cond(ok_t, tiny, not_tiny).astype(src.dtype)
 
 
 def _warp3d_fwd(src, flow):
@@ -943,7 +956,13 @@ def _warp3d_bwd(res, g):
     flow32 = flow.astype(jnp.float32)
     g32 = g.astype(jnp.float32)
     D, H = src.shape[1], src.shape[2]
-    ok_s = _band3d_ok(flow32, D, H, BZ, BY)
+    ok_t = _band3d_ok(flow32, D, H, BZ0, BY0)
+
+    def tiny():
+        dsrc, dflow, _ = warp3d_banded_bwd(src32, flow32, g32, bz=BZ0,
+                                           by=BY0, fold=2,
+                                           interpret=_INTERPRET)
+        return dsrc, dflow
 
     def small():
         dsrc, dflow, _ = warp3d_banded_bwd(src32, flow32, g32, bz=BZ,
@@ -971,7 +990,11 @@ def _warp3d_bwd(res, g):
 
             return jax.lax.cond(ok_b, big, xla)
 
-    dsrc, dflow = jax.lax.cond(ok_s, small, not_small)
+    def not_tiny():
+        ok_s = _band3d_ok(flow32, D, H, BZ, BY)
+        return jax.lax.cond(ok_s, small, not_small)
+
+    dsrc, dflow = jax.lax.cond(ok_t, tiny, not_tiny)
     return dsrc.astype(src.dtype), dflow.astype(flow.dtype)
 
 

@@ -123,6 +123,49 @@ def test_3d_violent_flow_reports_not_ok(rng):
     assert not bool(ok)
 
 
+def test_3d_tiny_band_exact_and_engages(rng):
+    """The tiny (BZ0 x BY0) cascade front-end: exact on VecInt-scale
+    displacements (fwd AND bwd), and its feasibility predicate accepts
+    them — so the serial integration chain runs at half the small band's
+    MXU work."""
+    from dfmir_tpu.ops.warp_pallas import (
+        BZ0, BY0, _band3d_ok, warp3d_banded, warp3d_banded_bwd,
+    )
+
+    shape = (2, 24, 32, 40, 3)   # flow self-warp shape (VecInt's case)
+    src = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    flow = jnp.asarray(rng.standard_normal(shape[:-1] + (3,)) * 0.8,
+                       jnp.float32)
+    assert bool(_band3d_ok(flow, shape[1], shape[2], BZ0, BY0))
+    ref = warp(src, flow, impl="xla")
+    out, ok = warp3d_banded(src, flow, bz=BZ0, by=BY0, fold=4,
+                            interpret=True)
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+    g = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    _, vjp = jax.vjp(lambda s, f: warp(s, f, impl="xla"), src, flow)
+    ds_ref, df_ref = vjp(g)
+    ds, df, okb = warp3d_banded_bwd(src, flow, g, bz=BZ0, by=BY0, fold=2,
+                                    interpret=True)
+    assert bool(okb)
+    np.testing.assert_allclose(np.asarray(ds), np.asarray(ds_ref),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(df), np.asarray(df_ref),
+                               atol=2e-4)
+
+
+def test_3d_tiny_band_rejects_wide_spans(rng):
+    """Fields past the tiny window fall through to the small band: the
+    cascade must stay correct, so the predicate must reject them."""
+    from dfmir_tpu.ops.warp_pallas import BZ0, BY0, _band3d_ok
+
+    shape = (1, 24, 32, 40)
+    flow = jnp.asarray(rng.standard_normal(shape + (3,)) * 6.0,
+                       jnp.float32)
+    assert not bool(_band3d_ok(flow, shape[1], shape[2], BZ0, BY0))
+
+
 @pytest.mark.parametrize("shape,scale", [
     ((2, 64, 128, 1), 3.0),
     ((1, 128, 128, 2), 4.0),   # VecInt flow self-warp (flow grads sum over C)
