@@ -64,11 +64,82 @@ def norm_fn(norm: str):
     raise NotImplementedError(f"normalization layer [{norm}] is not found")
 
 
+def conv3d_zdecomp(x, w, strides, padding):
+    """3-D conv lowered as ONE 2-D conv over z-tap-concatenated channels.
+
+    XLA's native conv3d lowering runs at 1-11 TFLOP/s bf16 on v5e at the
+    volumetric UNet's shapes while the identical math expressed as a 2-D
+    conv hits 13.5-14.5 TFLOP/s (scripts/measure_conv3d.py: 11.4x at
+    160^3 2->16, 5.6x at 40^3 32->32, 1.35x at the full-res decoder conv,
+    parity at worst).  The rewrite: output slice d needs input slices
+    d*sz+t-pz for the kz z-taps t, so stack those kz shifted views on a new
+    trailing-but-one axis, merge (kz, Cin) into the channel dim of a
+    (B*Dout, H, W, kz*Cin) batch, and run one conv2d whose kernel is the 3-D
+    kernel reshaped (ky, kx, kz*Cin, Cout) — exact, not an approximation.
+
+    ``x``: (B, D, H, W, C); ``w``: (kz, ky, kx, Cin, Cout); ``strides``:
+    (sz, sy, sx); ``padding``: three (lo, hi) pairs.  Replaces the op at
+    /root/reference/models/voxelmorph/torchvoxelmorph/networks.py:99-106
+    (nn.Conv3d) on the TPU compute path.
+    """
+    B, D, H, W, C = x.shape
+    kz, ky, kx, ci, co = w.shape
+    sz, sy, sx = strides
+    (pzl, pzr), py, px = padding
+    xp = jnp.pad(x, [(0, 0), (pzl, pzr), (0, 0), (0, 0), (0, 0)])
+    d_out = (D + pzl + pzr - kz) // sz + 1
+    span = (d_out - 1) * sz + 1
+    taps = [xp[:, t:t + span:sz] for t in range(kz)]
+    x2 = jnp.stack(taps, axis=4).reshape(B * d_out, H, W, kz * C)
+    k2 = w.transpose(1, 2, 0, 3, 4).reshape(ky, kx, kz * ci, co)
+    y = jax.lax.conv_general_dilated(
+        x2, k2, window_strides=(sy, sx), padding=[py, px],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y.reshape(B, d_out, y.shape[1], y.shape[2], co)
+
+
+class Conv3DZ(nn.Module):
+    """Drop-in nn.Conv replacement for 3-D convs, z-decomposed for the MXU.
+
+    Param tree ({kernel, bias}), shapes, init, and dtype promotion are
+    bit-identical to flax nn.Conv — checkpoints and the .pth converter see
+    no difference; only the lowering changes (see conv3d_zdecomp).
+    """
+
+    features: int
+    kernel_size: Sequence[int]
+    strides: Sequence[int] = (1, 1, 1)
+    padding: Sequence = ((0, 0), (0, 0), (0, 0))
+    use_bias: bool = True
+    kernel_init: nn.initializers.Initializer = (
+        nn.initializers.lecun_normal())
+    bias_init: nn.initializers.Initializer = nn.initializers.zeros_init()
+
+    @nn.compact
+    def __call__(self, x):
+        kz, ky, kx = self.kernel_size
+        w = self.param(
+            "kernel", self.kernel_init,
+            (kz, ky, kx, x.shape[-1], self.features))
+        b = (self.param("bias", self.bias_init, (self.features,))
+             if self.use_bias else None)
+        x, w, b = nn.dtypes.promote_dtype(x, w, b, dtype=None)
+        pads = [p if isinstance(p, (tuple, list)) else (p, p)
+                for p in self.padding]
+        y = conv3d_zdecomp(x, w, tuple(self.strides), pads)
+        if b is not None:
+            y = y + b
+        return y
+
+
 class ConvND(nn.Module):
     """Conv over (B, *spatial, C) with torch-style integer padding.
 
     kernel init per ``init_type`` (reference init_weights), bias zeros unless
-    ``torch_default`` (then torch's U(+-1/sqrt(fan_in)) bias).
+    ``torch_default`` (then torch's U(+-1/sqrt(fan_in)) bias).  The 3-D case
+    lowers through Conv3DZ (z-decomposed conv2d — XLA's conv3d leaves >10x
+    MXU throughput on the table at UNet shapes); param paths stay
+    ``.../Conv_0/{kernel,bias}`` either way.
     """
 
     features: int
@@ -89,6 +160,17 @@ class ConvND(nn.Module):
             bias_init = torch_default_bias_init(fan_in)
         else:
             bias_init = nn.initializers.zeros_init()
+        if nd == 3:
+            return Conv3DZ(
+                features=self.features,
+                kernel_size=(self.kernel,) * 3,
+                strides=(self.stride,) * 3,
+                padding=[(self.padding, self.padding)] * 3,
+                use_bias=self.use_bias,
+                kernel_init=kernel_init,
+                bias_init=bias_init,
+                name="Conv_0",
+            )(x)
         return nn.Conv(
             features=self.features,
             kernel_size=(self.kernel,) * nd,

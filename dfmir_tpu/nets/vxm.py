@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from dfmir_tpu.nets.inits import normal_init
-from dfmir_tpu.nets.layers import ConvND, upsample_nearest
+from dfmir_tpu.nets.layers import Conv3DZ, ConvND, upsample_nearest
 from dfmir_tpu.ops.integrate import resize_flow, vecint
 from dfmir_tpu.ops.warp import warp
 
@@ -88,12 +88,22 @@ class VxmDense(nn.Module):
         x = x.astype(jnp.dtype(self.compute_dtype))
         x = VxmUnet(tuple(enc_nf), tuple(dec_nf), name="unet")(x)
 
-        flow_field = nn.Conv(
-            self.ndims, kernel_size=(3,) * self.ndims, padding=1,
-            kernel_init=normal_init(1e-5),
-            bias_init=nn.initializers.zeros_init(),
-            name="flow",
-        )(x).astype(jnp.float32)
+        if self.ndims == 3:
+            # same param tree/shapes as nn.Conv; z-decomposed MXU lowering
+            flow_field = Conv3DZ(
+                self.ndims, kernel_size=(3, 3, 3),
+                padding=[(1, 1)] * 3,
+                kernel_init=normal_init(1e-5),
+                bias_init=nn.initializers.zeros_init(),
+                name="flow",
+            )(x).astype(jnp.float32)
+        else:
+            flow_field = nn.Conv(
+                self.ndims, kernel_size=(3,) * self.ndims, padding=1,
+                kernel_init=normal_init(1e-5),
+                bias_init=nn.initializers.zeros_init(),
+                name="flow",
+            )(x).astype(jnp.float32)
 
         do_resize = self.int_steps > 0 and self.int_downsize > 1
         pos_flow = flow_field
