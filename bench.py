@@ -372,6 +372,36 @@ def _bench_kernelcheck(args):
                 "warp3d_bwd_big_dflow", dfp3 / max(scale_f, 1e-12),
                 dfr3 / max(scale_f, 1e-12), tol_override=big_tol)
 
+    # --- Conv3DZ z-decomposed conv3d lowering (nets/layers.py): the whole
+    # 3-D UNet routes its convs through this rewrite, so gate fwd + VJP on
+    # hardware against XLA's native conv3d.  Exact math either way — only
+    # the reduction order differs — so errors are f32 rounding, checked
+    # relative to the gradient scale.
+    from dfmir_tpu.nets.layers import conv3d_zdecomp
+
+    xc = jnp.asarray(rng.standard_normal((1, 20, 24, 24, 8)), jnp.float32)
+    wc = jnp.asarray(rng.standard_normal((3, 3, 3, 8, 16)), jnp.float32)
+    cstr, cpad = (2, 2, 2), ((1, 1), (1, 1), (1, 1))
+
+    def conv_z(x, w):
+        return conv3d_zdecomp(x, w, cstr, cpad)
+
+    def conv_x(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, window_strides=cstr, padding=list(cpad),
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+    yz, yx = conv_z(xc, wc), conv_x(xc, wc)
+    sc = float(jnp.max(jnp.abs(yx)))
+    ok_all &= record("conv3dz_fwd", yz / sc, yx / sc)
+    gc = jnp.asarray(rng.standard_normal(yx.shape), jnp.float32)
+    _, vjp_z = jax.vjp(conv_z, xc, wc)
+    _, vjp_x = jax.vjp(conv_x, xc, wc)
+    (dxz, dwz), (dxx, dwx) = vjp_z(gc), vjp_x(gc)
+    sx, sw = float(jnp.max(jnp.abs(dxx))), float(jnp.max(jnp.abs(dwx)))
+    ok_all &= record("conv3dz_bwd_dsrc", dxz / sx, dxx / sx)
+    ok_all &= record("conv3dz_bwd_dkernel", dwz / sw, dwx / sw)
+
     return {"metric": "kernelcheck_pass", "value": 1.0 if ok_all else 0.0,
             "unit": "bool", "vs_baseline": None,
             "extra": {"tolerance": tol, "backend": jax.default_backend(),

@@ -12,6 +12,7 @@ Layout NHWC / NDHWC.
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import jax
@@ -98,12 +99,25 @@ def conv3d_zdecomp(x, w, strides, padding):
     return y.reshape(B, d_out, y.shape[1], y.shape[2], co)
 
 
+# A/B switch for on-chip measurement: DFMIR_TPU_CONV3D=xla routes Conv3DZ
+# through XLA's native conv3d lowering instead of the z-decomposition.
+# Read once at import (the choice must be stable across jit traces).
+CONV3D_IMPL = os.environ.get("DFMIR_TPU_CONV3D", "zdecomp")
+if CONV3D_IMPL not in ("zdecomp", "xla"):
+    raise ValueError(f"DFMIR_TPU_CONV3D must be 'zdecomp' or 'xla', "
+                     f"got {CONV3D_IMPL!r}")
+
+
 class Conv3DZ(nn.Module):
     """Drop-in nn.Conv replacement for 3-D convs, z-decomposed for the MXU.
 
     Param tree ({kernel, bias}), shapes, init, and dtype promotion are
     bit-identical to flax nn.Conv — checkpoints and the .pth converter see
     no difference; only the lowering changes (see conv3d_zdecomp).
+
+    Supported surface is deliberately narrow (what the 3-D nets use):
+    integer or (lo, hi)-pair padding only; no string padding, no
+    kernel/input dilation, no feature groups — anything else raises.
     """
 
     features: int
@@ -124,9 +138,29 @@ class Conv3DZ(nn.Module):
         b = (self.param("bias", self.bias_init, (self.features,))
              if self.use_bias else None)
         x, w, b = nn.dtypes.promote_dtype(x, w, b, dtype=None)
-        pads = [p if isinstance(p, (tuple, list)) else (p, p)
-                for p in self.padding]
-        y = conv3d_zdecomp(x, w, tuple(self.strides), pads)
+        if isinstance(self.padding, str):
+            raise NotImplementedError(
+                "Conv3DZ: string padding (e.g. 'SAME') is not supported; "
+                "pass int or (lo, hi) pairs per spatial dim")
+        pads = []
+        for p in self.padding:
+            if isinstance(p, (tuple, list)):
+                if len(p) != 2:
+                    raise ValueError(f"Conv3DZ: bad padding entry {p!r}")
+                pads.append((int(p[0]), int(p[1])))
+            elif isinstance(p, int):
+                pads.append((p, p))
+            else:
+                raise NotImplementedError(
+                    f"Conv3DZ: unsupported padding entry {p!r}")
+        if len(pads) != 3:
+            raise ValueError("Conv3DZ: padding must cover 3 spatial dims")
+        if CONV3D_IMPL == "xla":
+            y = jax.lax.conv_general_dilated(
+                x, w, window_strides=tuple(self.strides), padding=pads,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        else:
+            y = conv3d_zdecomp(x, w, tuple(self.strides), pads)
         if b is not None:
             y = y + b
         return y
