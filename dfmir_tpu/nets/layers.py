@@ -12,6 +12,7 @@ Layout NHWC / NDHWC.
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Sequence
 
@@ -99,13 +100,54 @@ def conv3d_zdecomp(x, w, strides, padding):
     return y.reshape(B, d_out, y.shape[1], y.shape[2], co)
 
 
-# A/B switch for on-chip measurement: DFMIR_TPU_CONV3D=xla routes Conv3DZ
-# through XLA's native conv3d lowering instead of the z-decomposition.
-# Read once at import (the choice must be stable across jit traces).
+def _conv3d_xla(x, w, strides, padding):
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=tuple(strides), padding=list(padding),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def conv3d_hybrid(x, w, strides, padding):
+    """Native-XLA conv3d FORWARD with the z-decomposed conv2d BACKWARD.
+
+    The on-chip A/B (BENCH_MODES_r04.json train3d.conv_impl_ab) showed the
+    split verdict: inside the full 160^3 UNet the z-decomposed forward is
+    SLOWER than XLA's native conv3d (84.8 vs 60.3 ms — the kz stacked
+    full-volume views cost HBM traffic the isolated-op microbenchmark
+    never paid), while the whole train step is 160 ms FASTER (597 vs
+    758 ms), i.e. the entire win lives in the backward, where XLA's
+    conv3d dgrad/wgrad lowerings are the pathology.  This custom_vjp
+    takes each direction from its measured winner.  Gradients are the
+    VJP of conv3d_zdecomp, which computes the identical mathematical
+    function — exact, not an approximation.
+    """
+    return _conv3d_xla(x, w, strides, padding)
+
+
+def _conv3d_hybrid_fwd(x, w, strides, padding):
+    return _conv3d_xla(x, w, strides, padding), (x, w)
+
+
+def _conv3d_hybrid_bwd(strides, padding, res, g):
+    x, w = res
+    _, vjp = jax.vjp(
+        lambda x_, w_: conv3d_zdecomp(x_, w_, strides, padding), x, w)
+    return vjp(g)
+
+
+conv3d_hybrid.defvjp(_conv3d_hybrid_fwd, _conv3d_hybrid_bwd)
+
+
+# A/B switch for on-chip measurement: DFMIR_TPU_CONV3D selects the Conv3DZ
+# lowering — 'hybrid' (native-XLA fwd + z-decomposed bwd, each direction's
+# measured winner), 'zdecomp' (z-decomposed both directions), 'xla' (native
+# conv3d both directions).  Read once at import (the choice must be stable
+# across jit traces).  The default is the END-TO-END measured winner on
+# v5e (BENCH_MODES_r04.json train3d.conv_impl_ab).
 CONV3D_IMPL = os.environ.get("DFMIR_TPU_CONV3D", "zdecomp")
-if CONV3D_IMPL not in ("zdecomp", "xla"):
-    raise ValueError(f"DFMIR_TPU_CONV3D must be 'zdecomp' or 'xla', "
-                     f"got {CONV3D_IMPL!r}")
+if CONV3D_IMPL not in ("zdecomp", "xla", "hybrid"):
+    raise ValueError(f"DFMIR_TPU_CONV3D must be 'zdecomp', 'xla' or "
+                     f"'hybrid', got {CONV3D_IMPL!r}")
 
 
 class Conv3DZ(nn.Module):
@@ -156,9 +198,9 @@ class Conv3DZ(nn.Module):
         if len(pads) != 3:
             raise ValueError("Conv3DZ: padding must cover 3 spatial dims")
         if CONV3D_IMPL == "xla":
-            y = jax.lax.conv_general_dilated(
-                x, w, window_strides=tuple(self.strides), padding=pads,
-                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+            y = _conv3d_xla(x, w, tuple(self.strides), pads)
+        elif CONV3D_IMPL == "hybrid":
+            y = conv3d_hybrid(x, w, tuple(self.strides), tuple(pads))
         else:
             y = conv3d_zdecomp(x, w, tuple(self.strides), pads)
         if b is not None:

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from dfmir_tpu.nets.inits import normal_init
-from dfmir_tpu.nets.layers import upsample_nearest
+from dfmir_tpu.nets.layers import Conv3DZ, upsample_nearest
 from dfmir_tpu.nets.vxm import VxmConvBlock
 from dfmir_tpu.ops.integrate import resize_flow, vecint
 from dfmir_tpu.ops.warp import warp
@@ -193,10 +193,18 @@ class VxmDenseTransformer(nn.Module):
         x = TransFusionUnet(tuple(enc_nf), tuple(dec_nf),
                             n_head=self.n_head, n_layer=self.n_layer,
                             fuse=self.fuse, name="unet")(source, target)
-        flow_field = nn.Conv(
-            self.ndims, kernel_size=(3,) * self.ndims, padding=1,
-            kernel_init=normal_init(1e-5),
-            bias_init=nn.initializers.zeros_init(), name="flow")(x)
+        if self.ndims == 3:
+            # same param tree/shapes as nn.Conv; z-decomposed MXU lowering
+            # (XLA's conv3d leaves >10x on the table — see Conv3DZ)
+            flow_field = Conv3DZ(
+                self.ndims, kernel_size=(3,) * 3, padding=[(1, 1)] * 3,
+                kernel_init=normal_init(1e-5),
+                bias_init=nn.initializers.zeros_init(), name="flow")(x)
+        else:
+            flow_field = nn.Conv(
+                self.ndims, kernel_size=(3,) * self.ndims, padding=1,
+                kernel_init=normal_init(1e-5),
+                bias_init=nn.initializers.zeros_init(), name="flow")(x)
 
         do_resize = self.int_steps > 0 and self.int_downsize > 1
         pos_flow = flow_field

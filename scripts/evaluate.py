@@ -74,6 +74,12 @@ def main():
     B_dir = os.path.join(args.dataroot, "testB")
     names_A = sorted(os.listdir(A_dir))[: args.num_test]
     names_B = sorted(os.listdir(B_dir))
+    # paired labels (testA_label + testB_label): Dice/HD95 BEFORE vs AFTER
+    # the predicted warp — the direct registration-quality measurement.
+    # Reference-layout datasets only carry trainA_label (the label-warp
+    # path of /root/reference/test.py:68-91); that remains the fallback.
+    labA_dir = os.path.join(args.dataroot, "testA_label")
+    labB_dir = os.path.join(args.dataroot, "testB_label")
     label_dir = os.path.join(args.dataroot, "trainA_label")
 
     records = []
@@ -92,9 +98,33 @@ def main():
             "ncc_windowed": -float(ncc_loss(y_source, B)),
             "psnr": psnr(y_np, B_np),
         }
-        lab_path = os.path.join(label_dir, name)
-        if os.path.exists(lab_path):
-            lab = np.asarray(Image.open(lab_path))[None, :, :, None]
+        labA_path = os.path.join(labA_dir, name)
+        labB_path = os.path.join(labB_dir, names_B[i % len(names_B)])
+        if os.path.exists(labA_path) and os.path.exists(labB_path):
+            labA = np.asarray(Image.open(labA_path))
+            labB = np.asarray(Image.open(labB_path))
+            warped = np.asarray(warp(
+                labA.astype(np.float32)[None, :, :, None], pos_flow,
+                mode="nearest"))[0, ..., 0].astype(labA.dtype)
+
+            def _dice_hd(moving, fixed):
+                d = label_dice(moving, fixed)
+                dice = float(np.mean(list(d.values()))) if d else 1.0
+                hd = [hausdorff_distance(moving == l, fixed == l,
+                                         percentile=95)
+                      for l in d
+                      if (moving == l).any() and (fixed == l).any()]
+                return dice, (float(np.mean(hd)) if hd else None)
+
+            for tag, pair in (("before", (labA, labB)),
+                              ("after", (warped, labB))):
+                dice, hd = _dice_hd(*pair)
+                rec[f"dice_{tag}"] = dice
+                if hd is not None:
+                    rec[f"hd95_{tag}"] = hd
+        elif os.path.exists(os.path.join(label_dir, name)):
+            lab = np.asarray(Image.open(os.path.join(label_dir, name))
+                             )[None, :, :, None]
             warped = np.asarray(warp(
                 lab.astype(np.float32), pos_flow, mode="nearest"))
             d = label_dice(warped[0, ..., 0].astype(lab.dtype),

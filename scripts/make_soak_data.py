@@ -64,6 +64,21 @@ def _warp_bilinear(img, flow):
             + wy * (1 - wx) * g(y0 + 1, x0) + wy * wx * g(y0 + 1, x0 + 1))
 
 
+def _warp_nearest(img, flow):
+    """Nearest-neighbor warp (for label maps — values must stay exact)."""
+    size = img.shape[0]
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+    ys = np.clip(np.rint(yy + flow[..., 0]), 0, size - 1).astype(np.int32)
+    xs = np.clip(np.rint(xx + flow[..., 1]), 0, size - 1).astype(np.int32)
+    return img[ys, xs]
+
+
+def _labels(base, n_bins=4):
+    """Quantile-binned anatomy -> label map {0..n_bins-1} scaled x60."""
+    qs = np.quantile(base, np.linspace(0, 1, n_bins + 1)[1:-1])
+    return (np.digitize(base, qs).astype(np.uint8) * 60)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/soak/data")
@@ -77,8 +92,10 @@ def main():
     for phase, n in (("train", args.n_train), ("test", args.n_test)):
         da = os.path.join(args.out, phase + "A")
         db = os.path.join(args.out, phase + "B")
-        os.makedirs(da, exist_ok=True)
-        os.makedirs(db, exist_ok=True)
+        dla = os.path.join(args.out, phase + "A_label")
+        dlb = os.path.join(args.out, phase + "B_label")
+        for d in (da, db, dla, dlb):
+            os.makedirs(d, exist_ok=True)
         for i in range(n):
             base = _anatomy(rng, args.size)
             # modality A: near-linear ramp; modality B: inverted gamma map
@@ -88,10 +105,19 @@ def main():
             flow = np.stack([_smooth_noise(rng, args.size, 6, 6.0),
                              _smooth_noise(rng, args.size, 6, 6.0)], -1)
             b_img = _warp_bilinear(b_src, flow)
-            for d, img in ((da, a_img), (db, b_img)):
-                Image.fromarray((img * 255).astype(np.uint8)).save(
+            # quantile-bin labels of the shared anatomy; B's labels ride
+            # the SAME ground-truth deformation (nearest), so
+            # Dice(warp(A_label, predicted_flow), B_label) measures how
+            # much of the misalignment the registration recovered
+            a_lab = _labels(base)
+            b_lab = _warp_nearest(a_lab, flow)
+            for d, img in ((da, (a_img * 255).astype(np.uint8)),
+                           (db, (b_img * 255).astype(np.uint8)),
+                           (dla, a_lab), (dlb, b_lab)):
+                Image.fromarray(img).save(
                     os.path.join(d, f"pair_{i:03d}.png"))
-    print(f"wrote {args.n_train}+{args.n_test} pairs to {args.out}")
+    print(f"wrote {args.n_train}+{args.n_test} pairs (+labels) to "
+          f"{args.out}")
 
 
 if __name__ == "__main__":

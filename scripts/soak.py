@@ -75,7 +75,11 @@ def main():
         "--n_epochs_decay", str(args.epochs),
         "--print_freq", str(bs), "--jac_freq", str(5 * bs),
         "--display_freq", "1000000000",
-        "--save_latest_freq", "1000000000", "--save_epoch_freq", "1000000",
+        "--save_latest_freq", "1000000000",
+        # one checkpoint at the final epoch (2*epochs % 2*epochs == 0) —
+        # scripts/evaluate.py scores it for the registration-quality
+        # artifact (EVAL_rNN.json)
+        "--save_epoch_freq", str(2 * args.epochs),
         "--num_threads", "2",
     ]
     if args.gpu_ids is not None:

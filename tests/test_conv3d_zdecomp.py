@@ -11,7 +11,7 @@ import numpy as np
 import pytest
 import flax.linen as nn
 
-from dfmir_tpu.nets.layers import Conv3DZ, conv3d_zdecomp
+from dfmir_tpu.nets.layers import Conv3DZ, conv3d_hybrid, conv3d_zdecomp
 
 
 def _ref_conv3d(x, w, strides, padding):
@@ -55,6 +55,37 @@ def test_grads_match_xla_conv3d():
     gz = jax.grad(lambda x, w: loss(conv3d_zdecomp, x, w), argnums=(0, 1))
     for a, b in zip(gr(x, w), gz(x, w)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4)
+
+
+def test_hybrid_fwd_is_xla_bwd_is_zdecomp():
+    """conv3d_hybrid: forward bit-identical to XLA's native conv3d, VJP
+    bit-identical to conv3d_zdecomp's (each direction's measured winner,
+    BENCH_MODES_r04.json train3d.conv_impl_ab)."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((1, 9, 8, 10, 3)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, 3, 4)), jnp.float32)
+    st, pd = (2, 1, 2), ((1, 1),) * 3
+
+    y_h = conv3d_hybrid(x, w, st, pd)
+    y_x = _ref_conv3d(x, w, st, pd)
+    np.testing.assert_array_equal(np.asarray(y_h), np.asarray(y_x))
+
+    def loss(fn, x, w):
+        return jnp.sum(jnp.sin(fn(x, w, st, pd)))
+
+    # the cotangent flows through sin(y) of the XLA-forward values, which
+    # differ from zdecomp's by f32 reassociation — so grads match to 1e-4,
+    # not bitwise
+    gh = jax.grad(lambda x, w: loss(conv3d_hybrid, x, w), argnums=(0, 1))
+    gz = jax.grad(lambda x, w: loss(conv3d_zdecomp, x, w), argnums=(0, 1))
+    for a, b in zip(gh(x, w), gz(x, w)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    # and under jit (the custom_vjp must trace cleanly inside a grad-of-jit)
+    gj = jax.jit(jax.grad(
+        lambda x, w: loss(conv3d_hybrid, x, w), argnums=(0, 1)))
+    for a, b in zip(gj(x, w), gh(x, w)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
 def test_module_drop_in_for_nn_conv():
