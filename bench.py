@@ -329,12 +329,14 @@ def _bench_kernelcheck(args):
         jnp.asarray(rng.standard_normal(
             (1, S // 16, S // 16, S // 16, 3)) * 0.8, jnp.float32),
         (S, S, S))
-    for name, flow3, bz, by, fold in (
-            ("tiny", flow_tiny, wp.BZ0, wp.BY0, 4),
-            ("small", flow_small, wp.BZ, wp.BY, 4),
-            ("big", flow_big, wp.BZ2, wp.BY2, 2)):
+    # fold left at None everywhere: the gate must exercise the SHIPPED
+    # auto-fold packing choices (_pick_fold), not a pinned variant
+    for name, flow3, bz, by in (
+            ("tiny", flow_tiny, wp.BZ0, wp.BY0),
+            ("small", flow_small, wp.BZ, wp.BY),
+            ("big", flow_big, wp.BZ2, wp.BY2)):
         ref3 = warp(src3, flow3, impl="xla")
-        out3, okp = wp.warp3d_banded(src3, flow3, bz=bz, by=by, fold=fold)
+        out3, okp = wp.warp3d_banded(src3, flow3, bz=bz, by=by)
         if not bool(okp):
             checks[f"warp3d_fwd_{name}_band_not_engaged"] = None
             ok_all = False
@@ -346,7 +348,7 @@ def _bench_kernelcheck(args):
                               src3, flow3)
             dsr3, dfr3 = vjp3(g3)
             dsp3, dfp3, okb3 = wp.warp3d_banded_bwd(src3, flow3, g3,
-                                                    bz=bz, by=by, fold=2)
+                                                    bz=bz, by=by)
             sfx = "" if name == "small" else f"_{name}"
             ok_all &= bool(okb3) and record(f"warp3d_bwd_dsrc{sfx}",
                                             dsp3, dsr3)
@@ -361,7 +363,7 @@ def _bench_kernelcheck(args):
                               src3, flow3)
             dsr3, dfr3 = vjp3(g3)
             dsp3, dfp3, okb3 = wp.warp3d_banded_bwd(
-                src3, flow3, g3, bz=bz, by=by, fold=2,
+                src3, flow3, g3, bz=bz, by=by,
                 precision=wp.BWD_BIG_PRECISION)
             scale_s = float(jnp.max(jnp.abs(dsr3)))
             scale_f = float(jnp.max(jnp.abs(dfr3)))

@@ -120,6 +120,13 @@ def conv3d_hybrid(x, w, strides, padding):
     takes each direction from its measured winner.  Gradients are the
     VJP of conv3d_zdecomp, which computes the identical mathematical
     function — exact, not an approximation.
+
+    MEASURED REJECTION (BENCH_MODES_r04.json conv_impl_ab.hybrid_ms): the
+    hybrid lands at 704 ms/step vs zdecomp's 597 — the isolated-forward
+    win does not survive the custom_vjp seam (the zdecomp primal gets
+    re-traced inside the backward and XLA no longer fuses the residual
+    reuse across it).  Kept selectable for future re-measurement; the
+    default stays 'zdecomp'.
     """
     return _conv3d_xla(x, w, strides, padding)
 

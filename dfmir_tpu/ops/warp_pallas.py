@@ -61,8 +61,10 @@ PRECISION = "bf16x3"
 # (loses), bf16x2 341 ms (ties), bf16 193 ms — a 1.72x win at 0.3% relative
 # gradient error (envelope 3e-2 pinned by test_3d_bwd_precision_variants
 # and gated on hardware by bench --mode kernelcheck).  Note the VMEM
-# budget: bf16x3/bf16x2 at 160^3 need fold=1 (fold=2 overflows the 16M
-# scoped-vmem limit); the dispatch below uses fold=2, which fits at bf16.
+# budget: bf16x3/bf16x2 at 160^3 need fold=1 (the multi-pass emulation's
+# hi/lo copies overflow the 16M scoped-vmem limit at larger folds); the
+# dispatch auto-picks fold for the shipped bf16 level (see _pick_fold),
+# which fits.
 BWD_BIG_PRECISION = "bf16"
 
 
@@ -112,14 +114,18 @@ def _kernel(C, H, W, Wp, band_h, y_lo_ref, ys_ref, xs_ref, src_ref, out_ref,
     copy.wait()
 
     # All TILE output rows fold into ONE selection matmul: their weighted
-    # one-hot columns concatenate along the lane axis (column t*Wp+p is
+    # one-hot columns concatenate along the lane axis (column t*W+p is
     # output pixel (t, p)), so the MXU sees a single
-    # (Wp x band_h) @ (band_h x TILE*Wp) contraction per tile instead of
-    # TILE serial K=band_h slivers.  Wp is the lane-padded width (the
-    # source band's pad columns are zero and never selected, since x
-    # corners clip to W-1; pad-lane OUTPUT columns carry edge-coord values
-    # the caller slices away).
-    TW = TILE * Wp
+    # (Wp x band_h) @ (band_h x TW) contraction per tile instead of
+    # TILE serial K=band_h slivers.  PACKED layout: the TILE real rows
+    # pack contiguously and only the pack pads to a lane multiple (the
+    # selection algebra is position-agnostic along output columns — every
+    # column carries its own coords — so this is a free host reshape that
+    # cuts matmul N-work whenever W isn't a lane multiple).  The source
+    # band keeps per-row Wp padding (zeros, never selected since x corners
+    # clip to W-1); pad-lane OUTPUT columns carry edge-coord values the
+    # caller slices away.
+    TW = -(-TILE * W // 128) * 128
     iota_band = jax.lax.broadcasted_iota(jnp.int32, (band_h, TW), 0)
     iota_src = jax.lax.broadcasted_iota(jnp.int32, (Wp, TW), 0)
     fH = jnp.float32(H)
@@ -200,13 +206,15 @@ def warp2d_banded(src, flow, interpret: bool = False):
     # explicit singleton sublane axis keeps the block's trailing two dims
     # equal to the array's (Mosaic requires (8,128)-divisible or full-dim
     # trailing blocks — a (1, TW) block over an (n_t, TW) array is neither).
-    # Pad-lane coords take edge values (their band rows stay inside the
-    # tile's span; the outputs there are sliced away below).
-    TW = TILE * Wp
+    # PACKED layout (see _kernel): TILE real rows contiguous, then the
+    # pack pads to a lane multiple with edge values (their band rows stay
+    # inside the tile's span; the outputs there are sliced away below).
+    TW = -(-TILE * W // 128) * 128
 
     def pad_c(a):
-        a = jnp.pad(a, [(0, 0), (0, 0), (0, Wp - W)], mode="edge")
-        return a.reshape(B, n_t, 1, TW)
+        a = a.reshape(B, n_t, 1, TILE * W)
+        return jnp.pad(a, [(0, 0), (0, 0), (0, 0), (0, TW - TILE * W)],
+                       mode="edge")
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -228,7 +236,7 @@ def warp2d_banded(src, flow, interpret: bool = False):
         grid_spec=grid_spec,
         interpret=interpret,
     )(y_lo, pad_c(ys), pad_c(xs), src_t)
-    out = out_t.reshape(B * C, H, Wp)[:, :, :W].reshape(B, C, H, W)
+    out = out_t[..., :TILE * W].reshape(B, C, H, W)
     return jnp.moveaxis(out, 1, -1).astype(src.dtype), ok
 
 
@@ -243,14 +251,51 @@ BZ2 = 32       # big variant — engages on ~±18-voxel smooth flows whose
 BY2 = 48       # long-range variation overflows the small bands
 
 
+def _pick_fold(W, rows, wp, k1, k2, cap=15_000_000):
+    """Choose the lane-fold for a banded 3-D kernel variant.
+
+    With the PACKED layout the matmul N dimension is ceil(fold*W/128)*128,
+    so the best fold minimizes that padding waste — subject to Mosaic's
+    16M scoped-vmem stack.  The stack cost is modeled as
+    ``4B * (k1*rows*FW + k2*wp*FW)`` with coefficients CALIBRATED on
+    hardware: the small-band fwd at rows=512, FW=1280, wp=256 measured
+    19.79M scoped (v5e compile error, this round) and the big-band
+    fwd/bwd at FW=512 historically fit — k1=4.5, k2=6 reproduces both
+    (the k's absorb the bf16x3 hi/lo copies, the iota compare buffers and
+    the 4-corner where() temporaries around the live selection matrix).
+    Ties prefer the LARGER fold (fewer subtile iterations, wider MXU
+    ops).  Static per (W, band) — resolved at trace time."""
+    best = None
+    for fold in (8, 4, 2, 1):
+        if TILE % fold:
+            continue
+        fwp = -(-fold * W // 128) * 128
+        est = 4 * (k1 * rows * fwp + k2 * wp * fwp)
+        if est > cap and fold != 1:
+            continue
+        eff = fwp / (fold * W)
+        if best is None or eff < best[0] - 1e-9:
+            best = (eff, fold)
+    return best[1]
+
+
 def _kernel3d(C, D, H, W, Wp, bz, by, fold, y_lo_ref, z_lo_ref, zs_ref,
               ys_ref, xs_ref, src_ref, out_ref, band, sem):
     """Trilinear banded kernel: the (z, y) corner pairs fold into ONE
     weighted one-hot selection matrix over the flattened (bz*by) band
     rows; x-corners reduce on the VPU as in 2-D.  ``fold`` output rows
     concatenate along the lane axis per selection matmul (the 2-D
-    lane-folding; bounded below TILE only to keep the (bz*by, fold*Wp)
-    selection matrix inside VMEM for the big-band variant)."""
+    lane-folding; bounded below TILE only to keep the (bz*by, FW)
+    selection matrix inside VMEM for the big-band variant).
+
+    PACKED lane layout: the ``fold`` real rows are packed contiguously
+    (fold*W columns) and only the PACK is padded to a lane multiple —
+    not each row to Wp first.  The kernel's selection algebra is
+    position-agnostic along the output columns (every column carries its
+    own coords), so packing is purely a host-side reshape, and it cuts
+    the selection-matmul N dimension from fold*Wp to ceil(fold*W/128)*128
+    — at the flagship W=160, fold=4: 1024 -> 640 lanes, a 37.5% MXU-work
+    cut on every band."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -264,7 +309,7 @@ def _kernel3d(C, D, H, W, Wp, bz, by, fold, y_lo_ref, z_lo_ref, zs_ref,
     copy.start()
     copy.wait()
 
-    FW = fold * Wp
+    FW = -(-fold * W // 128) * 128
     iota_band = jax.lax.broadcasted_iota(jnp.int32, (bz * by, FW), 0)
     iota_src = jax.lax.broadcasted_iota(jnp.int32, (Wp, FW), 0)
     fD = jnp.float32(D)
@@ -318,18 +363,24 @@ def _kernel3d(C, D, H, W, Wp, bz, by, fold, y_lo_ref, z_lo_ref, zs_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("bz", "by", "fold", "interpret"))
-def warp3d_banded(src, flow, bz: int = BZ, by: int = BY, fold: int = 4,
+def warp3d_banded(src, flow, bz: int = BZ, by: int = BY, fold=None,
                   interpret: bool = False):
-    """Banded Pallas trilinear warp, 3-D NDHWC.  Returns (out, ok)."""
+    """Banded Pallas trilinear warp, 3-D NDHWC.  Returns (out, ok).
+
+    ``fold=None`` picks the packing-optimal lane-fold (see _pick_fold)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B, D, H, W, C = src.shape
     assert flow.shape == (B, D, H, W, 3), (src.shape, flow.shape)
-    assert H % TILE == 0 and TILE % fold == 0
     Wp = -(-W // 128) * 128
     bz = min(bz, D)
     by = min(by, H)
+    if fold is None:
+        # fwd coefficients: k1=4.5 (M + its 4-corner where temps + bf16
+        # copies), k2=6 (iota_src, OHx, R + temps) — see _pick_fold
+        fold = _pick_fold(W, bz * by, Wp, k1=4.5, k2=6)
+    assert H % TILE == 0 and TILE % fold == 0
 
     zs = (jax.lax.broadcasted_iota(jnp.float32, (D, H, W), 0)[None]
           + flow[..., 0])
@@ -357,17 +408,19 @@ def warp3d_banded(src, flow, bz: int = BZ, by: int = BY, fold: int = 4,
 
     src_t = jnp.moveaxis(src, -1, 1).reshape(B * C, D, H, W)
     src_t = jnp.pad(src_t, [(0, 0), (0, 0), (0, 0), (0, Wp - W)])
-    # coords in the lane-pad region: edge values (keep band mins honest,
-    # outputs there are sliced away); then ``fold`` rows concatenate along
-    # the lane axis per sub-tile, explicit sublane kept for the Mosaic
-    # trailing-block-dims rule (see warp2d_banded)
+    # PACKED coord layout (see _kernel3d): each sub-tile's ``fold`` real
+    # rows concatenate contiguously along the lane axis and only the pack
+    # is padded to a lane multiple, with edge values (their band rows stay
+    # inside the tile's span; the outputs there are sliced away below).
+    # Explicit sublane axis kept for the Mosaic trailing-block-dims rule
+    # (see warp2d_banded).
     n_f = TILE // fold
-    FW = fold * Wp
+    FW = -(-fold * W // 128) * 128
 
     def pad_c(a):
-        a = jnp.pad(a.reshape(B, D * H, W), [(0, 0), (0, 0), (0, Wp - W)],
-                    mode="edge")
-        return a.reshape(B, n_t, n_f, FW)
+        a = a.reshape(B, n_t, n_f, fold * W)
+        return jnp.pad(a, [(0, 0), (0, 0), (0, 0), (0, FW - fold * W)],
+                       mode="edge")
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -394,7 +447,7 @@ def warp3d_banded(src, flow, bz: int = BZ, by: int = BY, fold: int = 4,
         grid_spec=grid_spec,
         interpret=interpret,
     )(y_lo, z_lo, pad_c(zs), pad_c(ys), pad_c(xs), src_t)
-    out = out_t.reshape(B * C, D * H, Wp)[:, :, :W].reshape(B, C, D, H, W)
+    out = out_t[..., :fold * W].reshape(B, C, D, H, W)
     return jnp.moveaxis(out, 1, -1).astype(src.dtype), ok
 
 
@@ -424,7 +477,7 @@ def _bwd_kernel3d(C, D, H, W, Wp, bz, by, fold, mm_prec, y_lo_ref, z_lo_ref,
     copy.wait()
     acc[...] = jnp.zeros((bz * by, Wp), jnp.float32)
 
-    FW = fold * Wp
+    FW = -(-fold * W // 128) * 128   # packed lanes, see _kernel3d
     iota_band = jax.lax.broadcasted_iota(jnp.int32, (bz * by, FW), 0)
     iota_src = jax.lax.broadcasted_iota(jnp.int32, (Wp, FW), 0)
     fD = jnp.float32(D)
@@ -500,24 +553,32 @@ def _bwd_kernel3d(C, D, H, W, Wp, bz, by, fold, mm_prec, y_lo_ref, z_lo_ref,
                    static_argnames=("bz", "by", "fold", "interpret",
                                     "precision"))
 def warp3d_banded_bwd(src, flow, g, bz: int = BZ, by: int = BY,
-                      fold: int = 2, interpret: bool = False,
+                      fold=None, interpret: bool = False,
                       precision=None):
     """3-D banded backward pass: returns (dsrc, dflow, ok).
 
     ``precision`` overrides the selection-matmul emulation level for THIS
     call (see ``_mxu_dot``): the bwd runs four band-area matmuls per tile,
     so dropping passes cuts its MXU work proportionally at the cost of
-    bounded relative error in the gradient."""
+    bounded relative error in the gradient.  ``fold=None`` picks the
+    packing-optimal lane-fold (see _pick_fold)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     from jax import lax
 
     B, D, H, W, C = src.shape
     assert flow.shape == (B, D, H, W, 3), (src.shape, flow.shape)
-    assert H % TILE == 0 and TILE % fold == 0
     Wp = -(-W // 128) * 128
     bz = min(bz, D)
     by = min(by, H)
+    if fold is None:
+        # bwd coefficients: M/Mdz/Mdy build+die sequentially so the live
+        # set stays near the fwd's (k1=4); Wx/Wxd/R/Rz/Ry overlap more
+        # (k2=6).  Anchored on the known-good big-band bwd (rows=1536,
+        # FW=512, wp=256 -> est 15.7M, measured to fit) and its fold=4
+        # variant (est 31M, measured to overflow).
+        fold = _pick_fold(W, bz * by, Wp, k1=4.0, k2=6)
+    assert H % TILE == 0 and TILE % fold == 0
 
     zs = (jax.lax.broadcasted_iota(jnp.float32, (D, H, W), 0)[None]
           + flow[..., 0])
@@ -545,18 +606,18 @@ def warp3d_banded_bwd(src, flow, g, bz: int = BZ, by: int = BY,
     src_t = jnp.moveaxis(src, -1, 1).reshape(B * C, D, H, W)
     src_t = jnp.pad(src_t, [(0, 0), (0, 0), (0, 0), (0, Wp - W)])
     n_f = TILE // fold
-    FW = fold * Wp
+    FW = -(-fold * W // 128) * 128   # packed lanes, see _kernel3d
 
     def pad_c(a):
-        a = jnp.pad(a.reshape(B, D * H, W), [(0, 0), (0, 0), (0, Wp - W)],
-                    mode="edge")
-        return a.reshape(B, n_t, n_f, FW)
+        a = a.reshape(B, n_t, n_f, fold * W)
+        return jnp.pad(a, [(0, 0), (0, 0), (0, 0), (0, FW - fold * W)],
+                       mode="edge")
 
     # pad the cotangent with ZEROS: pad-lane outputs never existed, so
     # they must not contribute to dband/dflow
-    g_t = jnp.moveaxis(g.astype(jnp.float32), -1, 1).reshape(B * C, D * H, W)
-    g_t = jnp.pad(g_t, [(0, 0), (0, 0), (0, Wp - W)]).reshape(
-        B * C, n_t, n_f, FW)
+    g_t = jnp.moveaxis(g.astype(jnp.float32), -1, 1).reshape(
+        B * C, n_t, n_f, fold * W)
+    g_t = jnp.pad(g_t, [(0, 0), (0, 0), (0, 0), (0, FW - fold * W)])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -617,7 +678,7 @@ def warp3d_banded_bwd(src, flow, g, bz: int = BZ, by: int = BY,
     dsrc = jnp.moveaxis(dsrc_t[..., :W].reshape(B, C, D, H, W), 1, -1)
     # flow is shared across channels: sum their contributions
     def unfold(a):
-        return a.reshape(B, C, D, H, Wp)[..., :W].sum(axis=1)
+        return a[..., :fold * W].reshape(B, C, D, H, W).sum(axis=1)
 
     dflow = jnp.stack([unfold(dfz), unfold(dfy), unfold(dfx)], axis=-1)
     return dsrc, dflow, ok
@@ -665,7 +726,7 @@ def _bwd_kernel(C, H, W, Wp, band_h, y_lo_ref, ys_ref, xs_ref, g_ref, src_ref,
     copy.start()
     copy.wait()
 
-    TW = TILE * Wp
+    TW = -(-TILE * W // 128) * 128   # packed lanes, see _kernel
     iota_band = jax.lax.broadcasted_iota(jnp.int32, (band_h, TW), 0)
     iota_src = jax.lax.broadcasted_iota(jnp.int32, (Wp, TW), 0)
     fH = jnp.float32(H)
@@ -735,18 +796,19 @@ def warp2d_banded_bwd(src, flow, g, interpret: bool = False):
 
     src_t = jnp.moveaxis(src, -1, 1).reshape(B * C, H, W)
     src_t = jnp.pad(src_t, [(0, 0), (0, 0), (0, Wp - W)])
-    TW = TILE * Wp
+    TW = -(-TILE * W // 128) * 128   # packed lanes, see _kernel
     # explicit singleton sublane axis — see warp2d_banded for the Mosaic
     # trailing-block-dims rule this satisfies.  Coords edge-pad into the
     # lane-pad region; the cotangent zero-pads there (pad-lane outputs
     # never existed, so they must not contribute to dband/dflow).
     def pad_c(a):
-        a = jnp.pad(a, [(0, 0), (0, 0), (0, Wp - W)], mode="edge")
-        return a.reshape(B, n_t, 1, TW)
+        a = a.reshape(B, n_t, 1, TILE * W)
+        return jnp.pad(a, [(0, 0), (0, 0), (0, 0), (0, TW - TILE * W)],
+                       mode="edge")
 
-    g_t = jnp.moveaxis(g.astype(jnp.float32), -1, 1).reshape(B * C, H, W)
-    g_t = jnp.pad(g_t, [(0, 0), (0, 0), (0, Wp - W)]).reshape(
-        B * C, n_t, 1, TW)
+    g_t = jnp.moveaxis(g.astype(jnp.float32), -1, 1).reshape(
+        B * C, n_t, 1, TILE * W)
+    g_t = jnp.pad(g_t, [(0, 0), (0, 0), (0, 0), (0, TW - TILE * W)])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -792,8 +854,8 @@ def warp2d_banded_bwd(src, flow, g, interpret: bool = False):
     dsrc_t = jax.vmap(per_image)(dband, y_lo_bc)
     dsrc = jnp.moveaxis(dsrc_t[..., :W].reshape(B, C, H, W), 1, -1)
     # flow is shared across channels: sum their contributions
-    dfy = dfy.reshape(B, C, H, Wp)[..., :W].sum(axis=1)
-    dfx = dfx.reshape(B, C, H, Wp)[..., :W].sum(axis=1)
+    dfy = dfy[..., :TILE * W].reshape(B, C, H, W).sum(axis=1)
+    dfx = dfx[..., :TILE * W].reshape(B, C, H, W).sum(axis=1)
     dflow = jnp.stack([dfy, dfx], axis=-1)
     return dsrc, dflow, ok
 
@@ -907,14 +969,14 @@ def _warp3d(src, flow):
     ok_t = _band3d_ok(flow32, D, H, BZ0, BY0)
 
     def tiny():
-        return warp3d_banded(src32, flow32, bz=BZ0, by=BY0, fold=4,
+        return warp3d_banded(src32, flow32, bz=BZ0, by=BY0,
                              interpret=_INTERPRET)[0]
 
     def not_tiny():
         ok_s = _band3d_ok(flow32, D, H, BZ, BY)
 
         def small():
-            return warp3d_banded(src32, flow32, bz=BZ, by=BY, fold=4,
+            return warp3d_banded(src32, flow32, bz=BZ, by=BY,
                                  interpret=_INTERPRET)[0]
 
         def not_small():
@@ -922,7 +984,7 @@ def _warp3d(src, flow):
 
             def big():
                 return warp3d_banded(src32, flow32, bz=BZ2, by=BY2,
-                                     fold=2, interpret=_INTERPRET)[0]
+                                     interpret=_INTERPRET)[0]
 
             def xla():
                 return warp(src, flow, mode="bilinear",
@@ -960,13 +1022,13 @@ def _warp3d_bwd(res, g):
 
     def tiny():
         dsrc, dflow, _ = warp3d_banded_bwd(src32, flow32, g32, bz=BZ0,
-                                           by=BY0, fold=2,
+                                           by=BY0,
                                            interpret=_INTERPRET)
         return dsrc, dflow
 
     def small():
         dsrc, dflow, _ = warp3d_banded_bwd(src32, flow32, g32, bz=BZ,
-                                           by=BY, fold=2,
+                                           by=BY,
                                            interpret=_INTERPRET)
         return dsrc, dflow
 
@@ -984,7 +1046,7 @@ def _warp3d_bwd(res, g):
 
             def big():
                 dsrc, dflow, _ = warp3d_banded_bwd(
-                    src32, flow32, g32, bz=BZ2, by=BY2, fold=2,
+                    src32, flow32, g32, bz=BZ2, by=BY2,
                     interpret=_INTERPRET, precision=BWD_BIG_PRECISION)
                 return dsrc, dflow
 

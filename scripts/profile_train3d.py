@@ -2,13 +2,23 @@
 v5e) by chained-timing each stage on the real chip — same methodology as
 scripts/profile_train.py (the tunnel makes jax.profiler unreliable).
 
-Stages:
+Forward stages:
   train_step   full jitted update (fwd + bwd + Adam)
   netR_fwd     full VxmDense forward (unet + flow head + vecint + warps)
   unet_fwd     just the conv tower + flow head (no integrate/warp)
   vecint       7-step scaling-and-squaring at half res (batched bidir pair)
   warp_full    one batched full-res warp of the (src, tgt) pair
   ncc_loss     windowed-NCC value on a full-res pair
+
+Backward attribution (each stage times grad() of the same computation, so
+bwd cost = <stage>_fwdbwd - <stage> fwd; train_step - loss_fwdbwd = Adam +
+state plumbing):
+  loss_fwdbwd  grad of the full loss wrt params (fwd + whole backward)
+  unet_fwdbwd  grad of the conv tower + flow head wrt params
+  vecint_fwdbwd  grad of the scaling-and-squaring chain wrt the SVF
+  warp_fwdbwd  grad of the full-res batched warp wrt (src, flow)
+  ncc_fwdbwd   grad of the windowed NCC wrt the prediction
+  adam         optimizer update only (scale_by_adam + apply on the tree)
 
 Prints one JSON dict of ms/step.  Reference op under test:
 /root/reference/models/voxelmorph/torchvoxelmorph/{networks.py:1028-1145,
@@ -31,7 +41,8 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--stages", default="train_step,netR_fwd,unet_fwd,"
-                    "vecint,warp_full,ncc_loss")
+                    "vecint,warp_full,ncc_loss,loss_fwdbwd,unet_fwdbwd,"
+                    "vecint_fwdbwd,warp_fwdbwd,ncc_fwdbwd,adam")
     args = ap.parse_args()
 
     import jax
@@ -75,6 +86,21 @@ def main():
             new_st, _ = eng.train_step(st, s, tgt)
             return new_st, s
         return step, (state, src)
+
+    def record_memstats(tag):
+        # peak HBM with the current conv lowering engaged (ADVICE r3: the
+        # z-decomposed conv materializes kz shifted volume copies — verify
+        # the op-level win survives the activation footprint at scale)
+        try:
+            ms = jax.local_devices()[0].memory_stats()
+            if ms:
+                for key in ("peak_bytes_in_use", "bytes_in_use",
+                            "largest_alloc_size", "bytes_limit"):
+                    if key in ms:
+                        stages[f"{tag}_{key}_mb"] = round(
+                            ms[key] / 2**20, 1)
+        except Exception as e:  # memory_stats unsupported on some backends
+            stages[f"{tag}_memstats_error"] = repr(e)[:120]
 
     def stage_netR_fwd():
         def step(carry):
@@ -125,16 +151,108 @@ def main():
             return a + val * 1e-6, b
         return step, (src, tgt)
 
+    # --- backward attribution: grad() of each stage's computation; the
+    # carry folds a scalar tap of the gradient back into the input so the
+    # chained steps stay dependent and nothing is dead-code-eliminated.
+
+    def stage_loss_fwdbwd():
+        def step(carry):
+            p, s = carry
+            grads, _ = jax.grad(eng._loss_fn, has_aux=True)(p, s, tgt)
+            tap = jnp.asarray(0.0, jnp.float32)
+            for leaf in jax.tree.leaves(grads):
+                tap = tap + jnp.sum(jnp.ravel(leaf)[:1]).astype(jnp.float32)
+            return jax.tree.map(
+                lambda a: a + (tap * 1e-12).astype(a.dtype), p), s
+        return step, (state.params, src)
+
+    def stage_unet_fwdbwd():
+        import flax.linen as nn
+        from dfmir_tpu.nets.vxm import VxmUnet
+
+        enc_nf, dec_nf = eng.netR.nb_features
+        unet = VxmUnet(tuple(enc_nf), tuple(dec_nf))
+        flow_conv = nn.Conv(3, kernel_size=(3, 3, 3), padding=1)
+        x_in = jnp.concatenate([src, tgt], axis=-1).astype(
+            jnp.dtype(eng.netR.compute_dtype))
+
+        def f(p):
+            h = unet.apply({"params": p["unet"]}, x_in)
+            pre = flow_conv.apply({"params": p["flow"]}, h)
+            return jnp.sum(pre.astype(jnp.float32)) * 1e-6
+
+        sub = {"unet": state.params["unet"], "flow": state.params["flow"]}
+
+        def step(carry):
+            p, = carry
+            grads = jax.grad(f)(p)
+            tap = jnp.asarray(0.0, jnp.float32)
+            for leaf in jax.tree.leaves(grads):
+                tap = tap + jnp.sum(jnp.ravel(leaf)[:1]).astype(jnp.float32)
+            return (jax.tree.map(
+                lambda a: a + (tap * 1e-12).astype(a.dtype), p),)
+        return step, (sub,)
+
+    def stage_vecint_fwdbwd():
+        def f(v):
+            return jnp.sum(vecint(v, nsteps=7).astype(jnp.float32)) * 1e-6
+
+        def step(carry):
+            (v,) = carry
+            g = jax.grad(f)(v)
+            return (v + g * 1e-6,)
+        return step, (svf,)
+
+    def stage_warp_fwdbwd():
+        def f(p, fl):
+            return jnp.sum(
+                warp(p, fl, mode="bilinear").astype(jnp.float32)) * 1e-6
+
+        def step(carry):
+            p, fl = carry
+            gp, gf = jax.grad(f, argnums=(0, 1))(p, fl)
+            return p + gp * 1e-6, fl + gf * 1e-6
+        return step, (pair, flow_full)
+
+    def stage_ncc_fwdbwd():
+        def f(a, b):
+            return ncc_loss(a, b, kernel_var=[9, 9, 9])
+
+        def step(carry):
+            a, b = carry
+            g = jax.grad(f)(a, b)
+            return a + g * 1e-3, b
+        return step, (src, tgt)
+
+    def stage_adam():
+        fake_grads = jax.tree.map(
+            lambda a: jnp.full(a.shape, 1e-6, a.dtype), state.params)
+
+        def step(carry):
+            p, opt = carry
+            updates, new_opt = eng.tx.update(fake_grads, opt, p)
+            updates = jax.tree.map(lambda u: -1e-4 * u, updates)
+            import optax
+            return optax.apply_updates(p, updates), new_opt
+        return step, (state.params, state.opt_state)
+
     for name in args.stages.split(","):
         fn = {"train_step": stage_train_step, "netR_fwd": stage_netR_fwd,
               "unet_fwd": stage_unet_fwd, "vecint": stage_vecint,
-              "warp_full": stage_warp_full, "ncc_loss": stage_ncc_loss}[name]
+              "warp_full": stage_warp_full, "ncc_loss": stage_ncc_loss,
+              "loss_fwdbwd": stage_loss_fwdbwd,
+              "unet_fwdbwd": stage_unet_fwdbwd,
+              "vecint_fwdbwd": stage_vecint_fwdbwd,
+              "warp_fwdbwd": stage_warp_fwdbwd,
+              "ncc_fwdbwd": stage_ncc_fwdbwd, "adam": stage_adam}[name]
         try:
             step, carry = fn()
             _log(f"stage {name}")
             sec = _measure_chained(step, carry, args.iters)
             stages[f"{name}_ms"] = round(sec * 1e3, 2)
             _log(f"# {name}: {stages[f'{name}_ms']} ms/step")
+            if name == "train_step":
+                record_memstats("train_step")
         except Exception as e:
             stages[f"{name}_ms"] = None
             stages[f"{name}_error"] = repr(e)[:200]

@@ -84,6 +84,18 @@ def main():
     ]
     if args.gpu_ids is not None:
         cmd += ["--gpu_ids", args.gpu_ids]
+    # record which backend the train subprocess will actually resolve
+    # (the artifact must be attributable to real hardware, VERDICT r3 #1)
+    if args.gpu_ids == "-1":
+        backend = "cpu"
+    else:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.default_backend())"],
+            capture_output=True, text=True, timeout=240, cwd=REPO)
+        backend = (probe.stdout or "").strip().splitlines()[-1] \
+            if probe.returncode == 0 and probe.stdout.strip() else "unknown"
+    print(f"soak: backend={backend}", flush=True)
     print("soak:", " ".join(cmd), flush=True)
     log_path = os.path.join(args.workdir, "train.log")
     timed_out = False
@@ -129,6 +141,7 @@ def main():
         "config": {"size": args.size, "batch": bs, "dtype": args.dtype,
                    "n_train_images": args.n_train,
                    "n_epochs": args.epochs, "n_epochs_decay": args.epochs},
+        "backend": backend,
         "rc": rc, "timed_out": timed_out,
         "wall_s": round(time.time() - t0, 1),
         "loss_first10_vs_last10": {
