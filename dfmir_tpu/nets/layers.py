@@ -157,6 +157,44 @@ if CONV3D_IMPL not in ("zdecomp", "xla", "hybrid"):
                      f"'hybrid', got {CONV3D_IMPL!r}")
 
 
+def conv2d_shift9(x, w, strides, padding):
+    """2-D conv lowered as shift-concat taps -> ONE 1x1 conv (pure MXU
+    matmul) — the 2-D analog of conv3d_zdecomp, targeting the joint
+    model's hot 3x3 256->256 convs at 64^2 where the XLA lowering runs at
+    ~26% of bf16 peak (README attribution; the FLOPs of
+    /root/reference/models/networks.py:1164-1221).  Exact, not an
+    approximation: output pixel (y, x) needs input (y*sy+dy-py,
+    x*sx+dx-px) for the (ky, kx) taps, so stack the ky*kx shifted views on
+    the channel axis and contract once with the kernel reshaped
+    (1, 1, ky*kx*Cin, Cout).
+
+    A/B-selectable via DFMIR_TPU_CONV2D (default 'xla' until the on-chip
+    measurement picks a winner — scripts/measure_conv2d.py).
+    """
+    B, H, W, C = x.shape
+    ky, kx, ci, co = w.shape
+    sy, sx = strides
+    (pyl, pyr), (pxl, pxr) = padding
+    xp = jnp.pad(x, [(0, 0), (pyl, pyr), (pxl, pxr), (0, 0)])
+    h_out = (H + pyl + pyr - ky) // sy + 1
+    w_out = (W + pxl + pxr - kx) // sx + 1
+    spy = (h_out - 1) * sy + 1
+    spx = (w_out - 1) * sx + 1
+    taps = [xp[:, ty:ty + spy:sy, tx:tx + spx:sx, :]
+            for ty in range(ky) for tx in range(kx)]
+    x2 = jnp.concatenate(taps, axis=-1)
+    k2 = w.reshape(ky * kx * ci, co)[None, None]
+    return jax.lax.conv_general_dilated(
+        x2, k2, window_strides=(1, 1), padding=[(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+CONV2D_IMPL = os.environ.get("DFMIR_TPU_CONV2D", "xla")
+if CONV2D_IMPL not in ("xla", "shift9"):
+    raise ValueError(f"DFMIR_TPU_CONV2D must be 'xla' or 'shift9', "
+                     f"got {CONV2D_IMPL!r}")
+
+
 class Conv3DZ(nn.Module):
     """Drop-in nn.Conv replacement for 3-D convs, z-decomposed for the MXU.
 
@@ -215,6 +253,45 @@ class Conv3DZ(nn.Module):
         return y
 
 
+class Conv2DS9(nn.Module):
+    """Drop-in nn.Conv replacement for 2-D convs, shift-concat lowered.
+
+    Param tree ({kernel, bias}), shapes, init, and dtype promotion are
+    bit-identical to flax nn.Conv; only the lowering changes (see
+    conv2d_shift9).  Engaged via DFMIR_TPU_CONV2D=shift9."""
+
+    features: int
+    kernel_size: Sequence[int]
+    strides: Sequence[int] = (1, 1)
+    padding: Sequence = ((0, 0), (0, 0))
+    use_bias: bool = True
+    kernel_init: nn.initializers.Initializer = (
+        nn.initializers.lecun_normal())
+    bias_init: nn.initializers.Initializer = nn.initializers.zeros_init()
+
+    @nn.compact
+    def __call__(self, x):
+        ky, kx = self.kernel_size
+        w = self.param("kernel", self.kernel_init,
+                       (ky, kx, x.shape[-1], self.features))
+        b = (self.param("bias", self.bias_init, (self.features,))
+             if self.use_bias else None)
+        x, w, b = nn.dtypes.promote_dtype(x, w, b, dtype=None)
+        pads = []
+        for p in self.padding:
+            if isinstance(p, (tuple, list)) and len(p) == 2:
+                pads.append((int(p[0]), int(p[1])))
+            elif isinstance(p, int):
+                pads.append((p, p))
+            else:
+                raise NotImplementedError(
+                    f"Conv2DS9: unsupported padding entry {p!r}")
+        y = conv2d_shift9(x, w, tuple(self.strides), pads)
+        if b is not None:
+            y = y + b
+        return y
+
+
 class ConvND(nn.Module):
     """Conv over (B, *spatial, C) with torch-style integer padding.
 
@@ -249,6 +326,17 @@ class ConvND(nn.Module):
                 kernel_size=(self.kernel,) * 3,
                 strides=(self.stride,) * 3,
                 padding=[(self.padding, self.padding)] * 3,
+                use_bias=self.use_bias,
+                kernel_init=kernel_init,
+                bias_init=bias_init,
+                name="Conv_0",
+            )(x)
+        if nd == 2 and CONV2D_IMPL == "shift9":
+            return Conv2DS9(
+                features=self.features,
+                kernel_size=(self.kernel,) * 2,
+                strides=(self.stride,) * 2,
+                padding=[(self.padding, self.padding)] * 2,
                 use_bias=self.use_bias,
                 kernel_init=kernel_init,
                 bias_init=bias_init,
