@@ -343,16 +343,47 @@ def _bench_kernelcheck(args):
             continue
         ok_all &= record(f"warp3d_fwd_{name}", out3, ref3)
         if name in ("tiny", "small"):
+            # gate the SHIPPED dispatch config: the tiny/small backward
+            # runs at BWD_PRECISION (the measured end-to-end winner,
+            # VECINT_BWD_r04) at its pinned relative-error envelope
+            prec = wp.BWD_PRECISION
+            tol3 = {None: None, "bf16x3": None, "bf16x2": 1e-2,
+                    "bf16": 3e-2}[prec]
             g3 = jnp.asarray(rng.standard_normal(src3.shape), jnp.float32)
             _, vjp3 = jax.vjp(lambda s, f: warp(s, f, impl="xla"),
                               src3, flow3)
             dsr3, dfr3 = vjp3(g3)
             dsp3, dfp3, okb3 = wp.warp3d_banded_bwd(src3, flow3, g3,
-                                                    bz=bz, by=by)
+                                                    bz=bz, by=by,
+                                                    precision=prec)
             sfx = "" if name == "small" else f"_{name}"
-            ok_all &= bool(okb3) and record(f"warp3d_bwd_dsrc{sfx}",
-                                            dsp3, dsr3)
-            ok_all &= record(f"warp3d_bwd_dflow{sfx}", dfp3, dfr3)
+            if tol3 is None:
+                ok_all &= bool(okb3) and record(f"warp3d_bwd_dsrc{sfx}",
+                                                dsp3, dsr3)
+                ok_all &= record(f"warp3d_bwd_dflow{sfx}", dfp3, dfr3)
+            else:
+                scale_s = float(jnp.max(jnp.abs(dsr3)))
+                scale_f = float(jnp.max(jnp.abs(dfr3)))
+                ok_all &= bool(okb3) and record(
+                    f"warp3d_bwd_dsrc{sfx}", dsp3 / max(scale_s, 1e-12),
+                    dsr3 / max(scale_s, 1e-12), tol_override=tol3)
+                ok_all &= record(
+                    f"warp3d_bwd_dflow{sfx}", dfp3 / max(scale_f, 1e-12),
+                    dfr3 / max(scale_f, 1e-12), tol_override=tol3)
+            if name == "small":
+                # both dsrc output modes must stay hardware-exact: "auto"
+                # picked vmem above (the plane fits at 64^3); gate the
+                # scatter fallback (giant shapes) against the same ref
+                dss, _ = wp.warp3d_banded_bwd_dsrc(
+                    flow3, g3, bz=bz, by=by, precision=prec,
+                    dsrc_mode="scatter")
+                if tol3 is None:
+                    ok_all &= record("warp3d_bwd_dsrc_scatter", dss, dsr3)
+                else:
+                    ok_all &= record(
+                        "warp3d_bwd_dsrc_scatter",
+                        dss / max(scale_s, 1e-12),
+                        dsr3 / max(scale_s, 1e-12), tol_override=tol3)
         elif wp.BWD_BIG_PRECISION is not None:
             # big-band bwd ships at a reduced emulation level; gate at the
             # envelope pinned by test_3d_bwd_precision_variants

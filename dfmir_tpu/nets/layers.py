@@ -106,6 +106,39 @@ def _conv3d_xla(x, w, strides, padding):
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
 
 
+def conv3d_tapdot(x, w, strides, padding):
+    """3-D conv with FEW OUTPUT channels, channel contraction first.
+
+    The VxmDense flow head (3x3x3, 16 -> 3 at full volume; reference
+    networks.py:1113 ``self.flow``) puts C_out=3 on the matmul's N axis
+    under any conv lowering — 3/128 lane occupancy.  Same reordering as
+    conv2d_tapdot: one matmul x @ w' with N = kz*ky*kx*C_out tap-planes,
+    then the tap-planes shift-add on the VPU.  Exact reordering."""
+    B, D, H, W, C = x.shape
+    kz, ky, kx, ci, co = w.shape
+    sz, sy, sx = strides
+    (pzl, pzr), (pyl, pyr), (pxl, pxr) = padding
+    d_out = (D + pzl + pzr - kz) // sz + 1
+    h_out = (H + pyl + pyr - ky) // sy + 1
+    w_out = (W + pxl + pxr - kx) // sx + 1
+    nt = kz * ky * kx
+    wt = jnp.transpose(w, (3, 0, 1, 2, 4)).reshape(ci, nt * co)
+    z = jnp.einsum("bdhwc,ck->bdhwk", x, wt)
+    zp = jnp.pad(z, [(0, 0), (pzl, pzr), (pyl, pyr), (pxl, pxr), (0, 0)])
+    zr = zp.reshape(zp.shape[0], zp.shape[1], zp.shape[2], zp.shape[3],
+                    nt, co)
+    spz = (d_out - 1) * sz + 1
+    spy = (h_out - 1) * sy + 1
+    spx = (w_out - 1) * sx + 1
+    y = jnp.zeros((B, d_out, h_out, w_out, co), z.dtype)
+    for t in range(nt):
+        tz, r = divmod(t, ky * kx)
+        ty, tx = divmod(r, kx)
+        y = y + zr[:, tz:tz + spz:sz, ty:ty + spy:sy,
+                   tx:tx + spx:sx, t, :]
+    return y
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def conv3d_hybrid(x, w, strides, padding):
     """Native-XLA conv3d FORWARD with the z-decomposed conv2d BACKWARD.
@@ -156,6 +189,17 @@ if CONV3D_IMPL not in ("zdecomp", "xla", "hybrid"):
     raise ValueError(f"DFMIR_TPU_CONV3D must be 'zdecomp', 'xla' or "
                      f"'hybrid', got {CONV3D_IMPL!r}")
 
+# Low-C_out 3-D heads (the flow convs): 'tapdot' = contraction-first
+# lowering (conv3d_tapdot), 'off' = the CONV3D_IMPL lowering.  A/B knob;
+# default 'off' picked by on-chip netR_fwd A/B at 160^3: tapdot 108.05 ms
+# vs z-decomp 99.61 ms — unlike the 2-D 7x7 64->1 case (44x win), the 3-D
+# flow head's 16->3 contraction is cheap and the 27 full-volume tap-plane
+# shift-adds dominate.  Keep the knob for other shapes.
+CONV3D_LOWCHAN = os.environ.get("DFMIR_TPU_CONV3D_LOWCHAN", "off")
+if CONV3D_LOWCHAN not in ("tapdot", "off"):
+    raise ValueError(f"DFMIR_TPU_CONV3D_LOWCHAN must be 'tapdot' or "
+                     f"'off', got {CONV3D_LOWCHAN!r}")
+
 
 def conv2d_shift9(x, w, strides, padding):
     """2-D conv lowered as shift-concat taps -> ONE 1x1 conv (pure MXU
@@ -193,6 +237,125 @@ CONV2D_IMPL = os.environ.get("DFMIR_TPU_CONV2D", "xla")
 if CONV2D_IMPL not in ("xla", "shift9"):
     raise ValueError(f"DFMIR_TPU_CONV2D must be 'xla' or 'shift9', "
                      f"got {CONV2D_IMPL!r}")
+
+
+def conv2d_tapdot(x, w, strides, padding):
+    """2-D conv with FEW OUTPUT channels, channel contraction first.
+
+    XLA's NHWC conv lowering puts C_out on the matmul's N (lane) axis —
+    at C_out=1 that is 1/128 lane occupancy, measured 0.61 TFLOP/s on v5e
+    for the generator's final 7x7 64->1 conv (5.38 ms of a 16.4 ms netG
+    forward; /root/reference/models/networks.py:1049 'c7s1-1').  Reorder
+    the same arithmetic: one matmul x @ w' with N = ky*kx*C_out tap-planes
+    (MXU-occupied), then the tap-planes shift-add on the VPU.  Measured
+    0.121 ms — 44x (scripts/measure_conv2d.py conv7out_tapdot,
+    CONV2D_r04.json).  Exact reordering, not an approximation.
+    """
+    B, H, W, C = x.shape
+    ky, kx, ci, co = w.shape
+    sy, sx = strides
+    (pyl, pyr), (pxl, pxr) = padding
+    h_out = (H + pyl + pyr - ky) // sy + 1
+    w_out = (W + pxl + pxr - kx) // sx + 1
+    # z[b,h,w,(tap,co)] = sum_c x[b,h,w,c] * w[ty,tx,c,co]
+    wt = jnp.transpose(w, (2, 0, 1, 3)).reshape(ci, ky * kx * co)
+    z = jnp.einsum("bhwc,ck->bhwk", x, wt)
+    # padding zeros of x == padding zeros of z (per-pixel linear, no bias)
+    zp = jnp.pad(z, [(0, 0), (pyl, pyr), (pxl, pxr), (0, 0)])
+    zr = zp.reshape(zp.shape[0], zp.shape[1], zp.shape[2], ky * kx, co)
+    spy = (h_out - 1) * sy + 1
+    spx = (w_out - 1) * sx + 1
+    y = jnp.zeros((B, h_out, w_out, co), z.dtype)
+    for t in range(ky * kx):
+        ty, tx = divmod(t, kx)
+        y = y + zr[:, ty:ty + spy:sy, tx:tx + spx:sx, t, :]
+    return y
+
+
+def conv2d_im2col(x, w, strides, padding):
+    """2-D conv with FEW INPUT channels as an explicit tap-concat matmul.
+
+    XLA's conv at C_in=1 has a K=ky*kx*1 contraction with one real lane —
+    measured 2.18 TFLOP/s for the generator's first 7x7 1->64 conv
+    (1.51 ms); concatenating the ky*kx shifted views into channels first
+    (K = ky*kx*C_in) measured 0.60 ms (scripts/measure_conv2d.py
+    conv7in_s2d, CONV2D_r04.json).  Same math as conv2d_shift9 (which
+    LOSES at 256 channels where XLA's native lowering is already at 91%
+    of peak — see conv_hot_same); the win exists only at low C_in.
+    """
+    B, H, W, C = x.shape
+    ky, kx, ci, co = w.shape
+    sy, sx = strides
+    (pyl, pyr), (pxl, pxr) = padding
+    xp = jnp.pad(x, [(0, 0), (pyl, pyr), (pxl, pxr), (0, 0)])
+    h_out = (H + pyl + pyr - ky) // sy + 1
+    w_out = (W + pxl + pxr - kx) // sx + 1
+    spy = (h_out - 1) * sy + 1
+    spx = (w_out - 1) * sx + 1
+    taps = jnp.concatenate(
+        [xp[:, ty:ty + spy:sy, tx:tx + spx:sx, :]
+         for ty in range(ky) for tx in range(kx)], axis=-1)
+    wI = w.reshape(ky * kx * ci, co)
+    return jnp.einsum("bhwk,ko->bhwo", taps, wI)
+
+
+# Lowering for 2-D convs whose input or output channel count starves the
+# MXU's K or N axis under XLA's native conv ('lowchan' engages conv2d_
+# tapdot / conv2d_im2col below the channel threshold, 'xla' disables).
+# Default is the measured winner on v5e (CONV2D_r04.json).
+CONV2D_ENDS = os.environ.get("DFMIR_TPU_CONV2D_ENDS", "lowchan")
+if CONV2D_ENDS not in ("xla", "lowchan"):
+    raise ValueError(f"DFMIR_TPU_CONV2D_ENDS must be 'xla' or 'lowchan', "
+                     f"got {CONV2D_ENDS!r}")
+LOWCHAN_MAX = 8   # engage when C_in or C_out is at/below this
+
+
+class Conv2DLC(nn.Module):
+    """Drop-in nn.Conv replacement for low-channel 2-D convs.
+
+    Param tree ({kernel, bias}), shapes, init, and dtype promotion are
+    bit-identical to flax nn.Conv; only the lowering changes: C_out <=
+    LOWCHAN_MAX uses conv2d_tapdot (channel contraction first, tap-planes
+    shift-add), else C_in <= LOWCHAN_MAX uses conv2d_im2col.  Engaged by
+    ConvND under DFMIR_TPU_CONV2D_ENDS=lowchan (the default)."""
+
+    features: int
+    kernel_size: Sequence[int]
+    strides: Sequence[int] = (1, 1)
+    padding: Sequence = ((0, 0), (0, 0))
+    use_bias: bool = True
+    kernel_init: nn.initializers.Initializer = (
+        nn.initializers.lecun_normal())
+    bias_init: nn.initializers.Initializer = nn.initializers.zeros_init()
+
+    @nn.compact
+    def __call__(self, x):
+        ky, kx = self.kernel_size
+        w = self.param("kernel", self.kernel_init,
+                       (ky, kx, x.shape[-1], self.features))
+        b = (self.param("bias", self.bias_init, (self.features,))
+             if self.use_bias else None)
+        x, w, b = nn.dtypes.promote_dtype(x, w, b, dtype=None)
+        if isinstance(self.padding, str):
+            raise NotImplementedError(
+                "Conv2DLC: string padding is not supported; pass int or "
+                "(lo, hi) pairs per spatial dim")
+        pads = []
+        for p in self.padding:
+            if isinstance(p, (tuple, list)) and len(p) == 2:
+                pads.append((int(p[0]), int(p[1])))
+            elif isinstance(p, int):
+                pads.append((p, p))
+            else:
+                raise NotImplementedError(
+                    f"Conv2DLC: unsupported padding entry {p!r}")
+        if self.features <= LOWCHAN_MAX:
+            y = conv2d_tapdot(x, w, tuple(self.strides), pads)
+        else:
+            y = conv2d_im2col(x, w, tuple(self.strides), pads)
+        if b is not None:
+            y = y + b
+        return y
 
 
 class Conv3DZ(nn.Module):
@@ -242,7 +405,13 @@ class Conv3DZ(nn.Module):
                     f"Conv3DZ: unsupported padding entry {p!r}")
         if len(pads) != 3:
             raise ValueError("Conv3DZ: padding must cover 3 spatial dims")
-        if CONV3D_IMPL == "xla":
+        if (CONV3D_IMPL != "xla" and CONV3D_LOWCHAN == "tapdot"
+                and self.features <= LOWCHAN_MAX):
+            # low-C_out heads (the VxmDense/TransFusion flow convs) are
+            # N-lane starved under every conv lowering; contraction-first
+            # tapdot instead (see conv3d_tapdot / conv2d_tapdot)
+            y = conv3d_tapdot(x, w, tuple(self.strides), pads)
+        elif CONV3D_IMPL == "xla":
             y = _conv3d_xla(x, w, tuple(self.strides), pads)
         elif CONV3D_IMPL == "hybrid":
             y = conv3d_hybrid(x, w, tuple(self.strides), tuple(pads))
@@ -333,6 +502,19 @@ class ConvND(nn.Module):
             )(x)
         if nd == 2 and CONV2D_IMPL == "shift9":
             return Conv2DS9(
+                features=self.features,
+                kernel_size=(self.kernel,) * 2,
+                strides=(self.stride,) * 2,
+                padding=[(self.padding, self.padding)] * 2,
+                use_bias=self.use_bias,
+                kernel_init=kernel_init,
+                bias_init=bias_init,
+                name="Conv_0",
+            )(x)
+        if (nd == 2 and CONV2D_ENDS == "lowchan"
+                and (self.features <= LOWCHAN_MAX
+                     or x.shape[-1] <= LOWCHAN_MAX)):
+            return Conv2DLC(
                 features=self.features,
                 kernel_size=(self.kernel,) * 2,
                 strides=(self.stride,) * 2,

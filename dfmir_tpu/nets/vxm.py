@@ -22,7 +22,8 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from dfmir_tpu.nets.inits import normal_init
-from dfmir_tpu.nets.layers import Conv3DZ, ConvND, upsample_nearest
+from dfmir_tpu.nets.layers import (CONV2D_ENDS, Conv2DLC, Conv3DZ, ConvND,
+                                   upsample_nearest)
 from dfmir_tpu.ops.integrate import resize_flow, vecint
 from dfmir_tpu.ops.warp import warp
 
@@ -93,6 +94,16 @@ class VxmDense(nn.Module):
             flow_field = Conv3DZ(
                 self.ndims, kernel_size=(3, 3, 3),
                 padding=[(1, 1)] * 3,
+                kernel_init=normal_init(1e-5),
+                bias_init=nn.initializers.zeros_init(),
+                name="flow",
+            )(x).astype(jnp.float32)
+        elif CONV2D_ENDS == "lowchan":
+            # C_out = 2 starves the conv matmul's N axis; contraction-
+            # first tapdot lowering (same param tree as nn.Conv)
+            flow_field = Conv2DLC(
+                self.ndims, kernel_size=(3, 3),
+                padding=[(1, 1)] * 2,
                 kernel_init=normal_init(1e-5),
                 bias_init=nn.initializers.zeros_init(),
                 name="flow",

@@ -54,6 +54,18 @@ BAND = 64       # source rows resident in VMEM per tile (static)
 # hand-rolled).  Module-level so experiments can flip it before first trace.
 PRECISION = "bf16x3"
 
+# Emulation level for the tiny/small-band 3-D backward selection matmuls,
+# or None to use the module PRECISION (bf16x3).  The backward's gradient
+# does not need the forward's exactness (the big band already ships 1-pass
+# bf16 at 0.3% relative gradient error, see BWD_BIG_PRECISION below).
+# Measured on v5e at the VecInt shapes (80^3 bidir SVF pair x 7 steps,
+# scripts/measure_vecint_bwd.py, VECINT_BWD_r04.json): fwd+bwd 174.0 ms at
+# bf16x3 vs 108.0 ms at bf16 vs 137.9 at bf16x2 — bf16 ships.  Error
+# envelope 3e-2 relative per warp VJP, pinned by
+# test_3d_bwd_precision_variants / test_split_bwd_precision_envelopes and
+# gated on hardware by bench --mode kernelcheck.
+BWD_PRECISION = "bf16"
+
 # Emulation level for the BIG-band 3-D backward ("bf16"/"bf16x2"/"bf16x3"),
 # or None to use the XLA VJP for fields that overflow the small band.
 # Default set by measurement on v5e at 160^3 (scripts/measure_bwd3d.py,
@@ -251,7 +263,7 @@ BZ2 = 32       # big variant — engages on ~±18-voxel smooth flows whose
 BY2 = 48       # long-range variation overflows the small bands
 
 
-def _pick_fold(W, rows, wp, k1, k2, cap=15_000_000):
+def _pick_fold(W, rows, wp, k1, k2, cap=15_000_000, extra=0, strict=False):
     """Choose the lane-fold for a banded 3-D kernel variant.
 
     With the PACKED layout the matmul N dimension is ceil(fold*W/128)*128,
@@ -270,13 +282,13 @@ def _pick_fold(W, rows, wp, k1, k2, cap=15_000_000):
         if TILE % fold:
             continue
         fwp = -(-fold * W // 128) * 128
-        est = 4 * (k1 * rows * fwp + k2 * wp * fwp)
-        if est > cap and fold != 1:
+        est = 4 * (k1 * rows * fwp + k2 * wp * fwp) + extra
+        if est > cap and not (fold == 1 and not strict):
             continue
         eff = fwp / (fold * W)
         if best is None or eff < best[0] - 1e-9:
             best = (eff, fold)
-    return best[1]
+    return best[1] if best is not None else None
 
 
 def _kernel3d(C, D, H, W, Wp, bz, by, fold, y_lo_ref, z_lo_ref, zs_ref,
@@ -451,18 +463,61 @@ def warp3d_banded(src, flow, bz: int = BZ, by: int = BY, fold=None,
     return jnp.moveaxis(out, 1, -1).astype(src.dtype), ok
 
 
-def _bwd_kernel3d(C, D, H, W, Wp, bz, by, fold, mm_prec, y_lo_ref, z_lo_ref,
-                  zs_ref, ys_ref, xs_ref, g_ref, src_ref, dband_ref, dfz_ref,
-                  dfy_ref, dfx_ref, band, acc, sem):
-    """3-D banded backward — same joint (z, y) selection algebra as the
-    forward (r = (z-z_lo)*by + (y-y_lo) indexes the flattened band):
+def _tile_corners3d(D, H, W, z_lo, y_lo, by, zs_ref, ys_ref, xs_ref, t):
+    """Shared per-subtile corner algebra of the 3-D backward kernels:
+    clipped coords, corner weights/validity, and flattened band-row
+    indices r = (z - z_lo)*by + (y - y_lo)."""
+    import jax.experimental.pallas as pl
 
-      out[tp]  = sum_{r,c} M[r,tp] Wx[c,tp] band[r,c]
+    zs = jnp.clip(zs_ref[0, 0, pl.ds(t, 1), :], -2.0, jnp.float32(D) + 1.0)
+    ys = jnp.clip(ys_ref[0, 0, pl.ds(t, 1), :], -2.0, jnp.float32(H) + 1.0)
+    xs = jnp.clip(xs_ref[0, 0, pl.ds(t, 1), :], -2.0, jnp.float32(W) + 1.0)
+    z0f = jnp.floor(zs)
+    y0f = jnp.floor(ys)
+    x0f = jnp.floor(xs)
+    wz = zs - z0f
+    wy = ys - y0f
+    wx = xs - x0f
+
+    def corner(f, limit):
+        idx = f.astype(jnp.int32)
+        valid = ((idx >= 0) & (idx <= limit - 1)).astype(jnp.float32)
+        return valid, jnp.clip(idx, 0, limit - 1)
+
+    vz0, z0c = corner(z0f, D)
+    vz1, z1c = corner(z0f + 1, D)
+    vy0, y0c = corner(y0f, H)
+    vy1, y1c = corner(y0f + 1, H)
+    vx0, x0c = corner(x0f, W)
+    vx1, x1c = corner(x0f + 1, W)
+
+    r00 = (z0c - z_lo) * by + (y0c - y_lo)
+    r01 = (z0c - z_lo) * by + (y1c - y_lo)
+    r10 = (z1c - z_lo) * by + (y0c - y_lo)
+    r11 = (z1c - z_lo) * by + (y1c - y_lo)
+    a00 = vz0 * vy0
+    a01 = vz0 * vy1
+    a10 = vz1 * vy0
+    a11 = vz1 * vy1
+    return (wz, wy, wx, r00, r01, r10, r11, a00, a01, a10, a11,
+            vx0, x0c, vx1, x1c)
+
+
+def _bwd_kernel3d_dflow(C, D, H, W, Wp, bz, by, fold, mm_prec, y_lo_ref,
+                        z_lo_ref, zs_ref, ys_ref, xs_ref, g_ref, src_ref,
+                        dfz_ref, dfy_ref, dfx_ref, band, sem):
+    """3-D banded backward, dFLOW half — same joint (z, y) selection
+    algebra as the forward (r = (z-z_lo)*by + (y-y_lo) indexes the
+    flattened band):
+
       dflow_z  = g * sum_c Wx  * (band^T @ Mdz)    Mdz = dM/dwz
       dflow_y  = g * sum_c Wx  * (band^T @ Mdy)    Mdy = dM/dwy
       dflow_x  = g * sum_c Wxd * (band^T @ M)
-      dband    = sum_subtiles M @ (Wx * g)^T       (VMEM accumulator)
-    """
+
+    The dSRC half lives in ``_bwd_kernel3d_dsrc`` as its OWN pallas_call
+    (it needs no source band, only coords + cotangent), so call sites
+    whose warp source is data — no gradient path — get the entire dsrc
+    computation dead-code-eliminated by XLA instead of paying for it."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -475,48 +530,18 @@ def _bwd_kernel3d(C, D, H, W, Wp, bz, by, fold, mm_prec, y_lo_ref, z_lo_ref,
         src_ref.at[bc, pl.ds(z_lo, bz), pl.ds(y_lo, by)], band, sem)
     copy.start()
     copy.wait()
-    acc[...] = jnp.zeros((bz * by, Wp), jnp.float32)
 
     FW = -(-fold * W // 128) * 128   # packed lanes, see _kernel3d
     iota_band = jax.lax.broadcasted_iota(jnp.int32, (bz * by, FW), 0)
     iota_src = jax.lax.broadcasted_iota(jnp.int32, (Wp, FW), 0)
-    fD = jnp.float32(D)
-    fH = jnp.float32(H)
-    fW = jnp.float32(W)
     bandflat = band[...].reshape(bz * by, Wp)
 
     for t in range(TILE // fold):
-        zs = jnp.clip(zs_ref[0, 0, pl.ds(t, 1), :], -2.0, fD + 1.0)
-        ys = jnp.clip(ys_ref[0, 0, pl.ds(t, 1), :], -2.0, fH + 1.0)
-        xs = jnp.clip(xs_ref[0, 0, pl.ds(t, 1), :], -2.0, fW + 1.0)
+        (wz, wy, wx, r00, r01, r10, r11, a00, a01, a10, a11,
+         vx0, x0c, vx1, x1c) = _tile_corners3d(
+            D, H, W, z_lo, y_lo, by, zs_ref, ys_ref, xs_ref, t)
         g = g_ref[0, 0, pl.ds(t, 1), :]
-        z0f = jnp.floor(zs)
-        y0f = jnp.floor(ys)
-        x0f = jnp.floor(xs)
-        wz = zs - z0f
-        wy = ys - y0f
-        wx = xs - x0f
 
-        def corner(f, limit):
-            idx = f.astype(jnp.int32)
-            valid = ((idx >= 0) & (idx <= limit - 1)).astype(jnp.float32)
-            return valid, jnp.clip(idx, 0, limit - 1)
-
-        vz0, z0c = corner(z0f, D)
-        vz1, z1c = corner(z0f + 1, D)
-        vy0, y0c = corner(y0f, H)
-        vy1, y1c = corner(y0f + 1, H)
-        vx0, x0c = corner(x0f, W)
-        vx1, x1c = corner(x0f + 1, W)
-
-        r00 = (z0c - z_lo) * by + (y0c - y_lo)
-        r01 = (z0c - z_lo) * by + (y1c - y_lo)
-        r10 = (z1c - z_lo) * by + (y0c - y_lo)
-        r11 = (z1c - z_lo) * by + (y1c - y_lo)
-        a00 = vz0 * vy0
-        a01 = vz0 * vy1
-        a10 = vz1 * vy0
-        a11 = vz1 * vy1
         M = (jnp.where(iota_band == r00, (1.0 - wz) * (1.0 - wy) * a00, 0.0)
              + jnp.where(iota_band == r01, (1.0 - wz) * wy * a01, 0.0)
              + jnp.where(iota_band == r10, wz * (1.0 - wy) * a10, 0.0)
@@ -543,42 +568,79 @@ def _bwd_kernel3d(C, D, H, W, Wp, bz, by, fold, mm_prec, y_lo_ref, z_lo_ref,
                                                     keepdims=True)
         dfx_ref[0, 0, pl.ds(t, 1), :] = g * jnp.sum(Wxd * R, axis=0,
                                                     keepdims=True)
+
+
+def _bwd_kernel3d_dsrc(C, D, H, W, Wp, bz, by, fold, mm_prec, vmem_acc,
+                       y_lo_ref, z_lo_ref, zs_ref, ys_ref, xs_ref, g_ref,
+                       out_ref, acc):
+    """3-D banded backward, dSRC half:
+
+      dband = sum_subtiles M @ (Wx * g)^T
+
+    Needs NO source band — only coords and the cotangent.  Two output
+    modes:
+
+    - ``vmem_acc=True``: the FULL (D, H, Wp) dsrc plane for this (b, c)
+      image stays resident in VMEM as the kernel's output block (constant
+      block index across the tile grid — the standard revisiting-
+      accumulator pattern); each tile adds its band gradient at its
+      dynamic (z_lo, y_lo) offset.  This removes BOTH the per-tile dband
+      HBM materialization (n_t * bz * by * Wp floats) and the serial
+      n_t-iteration dynamic-update-slice scatter loop that dominated the
+      backward at VecInt shapes (latency-bound: ~40 of 61 ms/step at
+      80^3).  Only valid when D*H*Wp*4 bytes fit VMEM next to the
+      selection matrices.
+    - ``vmem_acc=False``: emit per-tile (bz, by, Wp) bands; the caller
+      scatters them (the original path, for shapes whose dsrc plane
+      overflows VMEM)."""
+    import jax.experimental.pallas as pl
+
+    bc = pl.program_id(0)
+    j = pl.program_id(1)
+    z_lo = z_lo_ref[bc // C, j]
+    y_lo = pl.multiple_of(y_lo_ref[bc // C, j], 8)
+
+    if vmem_acc:
+        @pl.when(j == 0)
+        def _init():
+            out_ref[...] = jnp.zeros(out_ref.shape, jnp.float32)
+
+    acc[...] = jnp.zeros((bz * by, Wp), jnp.float32)
+    FW = -(-fold * W // 128) * 128
+    iota_band = jax.lax.broadcasted_iota(jnp.int32, (bz * by, FW), 0)
+    iota_src = jax.lax.broadcasted_iota(jnp.int32, (Wp, FW), 0)
+
+    for t in range(TILE // fold):
+        (wz, wy, wx, r00, r01, r10, r11, a00, a01, a10, a11,
+         vx0, x0c, vx1, x1c) = _tile_corners3d(
+            D, H, W, z_lo, y_lo, by, zs_ref, ys_ref, xs_ref, t)
+        g = g_ref[0, 0, pl.ds(t, 1), :]
+
+        M = (jnp.where(iota_band == r00, (1.0 - wz) * (1.0 - wy) * a00, 0.0)
+             + jnp.where(iota_band == r01, (1.0 - wz) * wy * a01, 0.0)
+             + jnp.where(iota_band == r10, wz * (1.0 - wy) * a10, 0.0)
+             + jnp.where(iota_band == r11, wz * wy * a11, 0.0))
+        Wx = (jnp.where(iota_src == x0c, (1.0 - wx) * vx0, 0.0)
+              + jnp.where(iota_src == x1c, wx * vx1, 0.0))
         acc[...] = acc[...] + _mxu_dot(M, Wx * g, ((1,), (1,)),
                                        precision=mm_prec)
 
-    dband_ref[0, 0] = acc[...].reshape(bz, by, Wp)
+    if vmem_acc:
+        cur = out_ref[0, pl.ds(z_lo, bz), pl.ds(y_lo, by), :]
+        out_ref[0, pl.ds(z_lo, bz), pl.ds(y_lo, by), :] = (
+            cur + acc[...].reshape(bz, by, Wp))
+    else:
+        out_ref[0, 0] = acc[...].reshape(bz, by, Wp)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("bz", "by", "fold", "interpret",
-                                    "precision"))
-def warp3d_banded_bwd(src, flow, g, bz: int = BZ, by: int = BY,
-                      fold=None, interpret: bool = False,
-                      precision=None):
-    """3-D banded backward pass: returns (dsrc, dflow, ok).
-
-    ``precision`` overrides the selection-matmul emulation level for THIS
-    call (see ``_mxu_dot``): the bwd runs four band-area matmuls per tile,
-    so dropping passes cuts its MXU work proportionally at the cost of
-    bounded relative error in the gradient.  ``fold=None`` picks the
-    packing-optimal lane-fold (see _pick_fold)."""
-    import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-    from jax import lax
-
-    B, D, H, W, C = src.shape
-    assert flow.shape == (B, D, H, W, 3), (src.shape, flow.shape)
-    Wp = -(-W // 128) * 128
-    bz = min(bz, D)
-    by = min(by, H)
-    if fold is None:
-        # bwd coefficients: M/Mdz/Mdy build+die sequentially so the live
-        # set stays near the fwd's (k1=4); Wx/Wxd/R/Rz/Ry overlap more
-        # (k2=6).  Anchored on the known-good big-band bwd (rows=1536,
-        # FW=512, wp=256 -> est 15.7M, measured to fit) and its fold=4
-        # variant (est 31M, measured to overflow).
-        fold = _pick_fold(W, bz * by, Wp, k1=4.0, k2=6)
-    assert H % TILE == 0 and TILE % fold == 0
+def _bwd3d_host(flow, g, C, bz, by, fold):
+    """Shared host-side prep of the 3-D backward kernels: absolute
+    coords, per-tile band origins + feasibility, packed-lane coord /
+    cotangent layouts (see _kernel3d for the packing)."""
+    B, D, H, W = flow.shape[0], flow.shape[1], flow.shape[2], flow.shape[3]
+    n_t = D * H // TILE
+    n_f = TILE // fold
+    FW = -(-fold * W // 128) * 128
 
     zs = (jax.lax.broadcasted_iota(jnp.float32, (D, H, W), 0)[None]
           + flow[..., 0])
@@ -587,7 +649,6 @@ def warp3d_banded_bwd(src, flow, g, bz: int = BZ, by: int = BY,
     xs = (jax.lax.broadcasted_iota(jnp.float32, (D, H, W), 2)[None]
           + flow[..., 2])
 
-    n_t = D * H // TILE
     z0c = jnp.clip(jnp.floor(jnp.clip(zs, -2.0, jnp.float32(D + 1))
                              ).astype(jnp.int32), 0, D - 1)
     y0c = jnp.clip(jnp.floor(jnp.clip(ys, -2.0, jnp.float32(H + 1))
@@ -603,11 +664,6 @@ def warp3d_banded_bwd(src, flow, g, bz: int = BZ, by: int = BY,
     ok = (jnp.all(jnp.max(tmm(z1c), -1) - z_lo <= bz - 1)
           & jnp.all(jnp.max(tmm(y1c), -1) - y_lo <= by - 1))
 
-    src_t = jnp.moveaxis(src, -1, 1).reshape(B * C, D, H, W)
-    src_t = jnp.pad(src_t, [(0, 0), (0, 0), (0, 0), (0, Wp - W)])
-    n_f = TILE // fold
-    FW = -(-fold * W // 128) * 128   # packed lanes, see _kernel3d
-
     def pad_c(a):
         a = a.reshape(B, n_t, n_f, fold * W)
         return jnp.pad(a, [(0, 0), (0, 0), (0, 0), (0, FW - fold * W)],
@@ -618,6 +674,42 @@ def warp3d_banded_bwd(src, flow, g, bz: int = BZ, by: int = BY,
     g_t = jnp.moveaxis(g.astype(jnp.float32), -1, 1).reshape(
         B * C, n_t, n_f, fold * W)
     g_t = jnp.pad(g_t, [(0, 0), (0, 0), (0, 0), (0, FW - fold * W)])
+    return (n_t, n_f, FW, z_lo, y_lo, ok,
+            pad_c(zs), pad_c(ys), pad_c(xs), g_t)
+
+
+def warp3d_banded_bwd_dflow(src, flow, g, bz: int = BZ, by: int = BY,
+                            fold=None, interpret: bool = False,
+                            precision=None):
+    """dflow half of the 3-D banded backward: returns (dflow, ok).
+
+    ``precision`` overrides the selection-matmul emulation level for THIS
+    call (see ``_mxu_dot``): this half runs three band-area matmuls per
+    tile, so dropping passes cuts its MXU work proportionally at the cost
+    of bounded relative error in the gradient.  ``fold=None`` picks the
+    packing-optimal lane-fold (see _pick_fold)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, D, H, W, C = src.shape
+    assert flow.shape == (B, D, H, W, 3), (src.shape, flow.shape)
+    Wp = -(-W // 128) * 128
+    bz = min(bz, D)
+    by = min(by, H)
+    if fold is None:
+        # bwd coefficients: M/Mdz/Mdy build+die sequentially so the live
+        # set stays near the fwd's (k1=4); Wx/Wxd/R/Rz/Ry overlap more
+        # (k2=6).  Anchored on the known-good big-band bwd (rows=1536,
+        # FW=512, wp=256 -> est 15.7M, measured to fit) and its fold=4
+        # variant (est 31M, measured to overflow).
+        fold = _pick_fold(W, bz * by, Wp, k1=4.0, k2=6)
+    assert H % TILE == 0 and TILE % fold == 0
+
+    (n_t, n_f, FW, z_lo, y_lo, ok,
+     zs_p, ys_p, xs_p, g_t) = _bwd3d_host(flow, g, C, bz, by, fold)
+
+    src_t = jnp.moveaxis(src, -1, 1).reshape(B * C, D, H, W)
+    src_t = jnp.pad(src_t, [(0, 0), (0, 0), (0, 0), (0, Wp - W)])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -634,8 +726,6 @@ def warp3d_banded_bwd(src, flow, g, bz: int = BZ, by: int = BY,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, bz, by, Wp),
-                         lambda bc, j, ylo, zlo: (bc, j, 0, 0, 0)),
             pl.BlockSpec((1, 1, n_f, FW),
                          lambda bc, j, ylo, zlo: (bc, j, 0, 0)),
             pl.BlockSpec((1, 1, n_f, FW),
@@ -645,22 +735,113 @@ def warp3d_banded_bwd(src, flow, g, bz: int = BZ, by: int = BY,
         ),
         scratch_shapes=[
             pltpu.VMEM((bz, by, Wp), jnp.float32),
-            pltpu.VMEM((bz * by, Wp), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
-    dband, dfz, dfy, dfx = pl.pallas_call(
-        functools.partial(_bwd_kernel3d, C, D, H, W, Wp, bz, by, fold,
-                          precision),
+    dfz, dfy, dfx = pl.pallas_call(
+        functools.partial(_bwd_kernel3d_dflow, C, D, H, W, Wp, bz, by,
+                          fold, precision),
         out_shape=(
-            jax.ShapeDtypeStruct((B * C, n_t, bz, by, Wp), jnp.float32),
             jax.ShapeDtypeStruct((B * C, n_t, n_f, FW), jnp.float32),
             jax.ShapeDtypeStruct((B * C, n_t, n_f, FW), jnp.float32),
             jax.ShapeDtypeStruct((B * C, n_t, n_f, FW), jnp.float32),
         ),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(y_lo, z_lo, pad_c(zs), pad_c(ys), pad_c(xs), g_t, src_t)
+    )(y_lo, z_lo, zs_p, ys_p, xs_p, g_t, src_t)
+
+    # flow is shared across channels: sum their contributions
+    def unfold(a):
+        return a[..., :fold * W].reshape(B, C, D, H, W).sum(axis=1)
+
+    dflow = jnp.stack([unfold(dfz), unfold(dfy), unfold(dfx)], axis=-1)
+    return dflow, ok
+
+
+def warp3d_banded_bwd_dsrc(flow, g, bz: int = BZ, by: int = BY,
+                           fold=None, interpret: bool = False,
+                           precision=None, dsrc_mode: str = "auto"):
+    """dsrc half of the 3-D banded backward: returns (dsrc, ok).
+
+    Consumes only (flow, cotangent) — the source values never enter the
+    source gradient of a linear interpolation.  ``dsrc_mode``:
+
+    - "vmem": the full per-image (D, H, Wp) dsrc plane accumulates in
+      VMEM across the tile grid (see _bwd_kernel3d_dsrc) — no per-tile
+      dband HBM materialization, no serial scatter loop.
+    - "scatter": per-tile bands + host-side dynamic-update-slice loop
+      (for shapes whose dsrc plane overflows VMEM).
+    - "auto": "vmem" when the plane + selection matrices fit the scoped
+      budget, else "scatter"."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from jax import lax
+
+    B, D, H, W = flow.shape[0], flow.shape[1], flow.shape[2], flow.shape[3]
+    assert flow.shape[-1] == 3
+    C = g.shape[-1]
+    Wp = -(-W // 128) * 128
+    bz = min(bz, D)
+    by = min(by, H)
+    plane_bytes = D * H * Wp * 4 + bz * by * Wp * 4   # dsrc block + acc
+    if dsrc_mode == "auto":
+        # vmem needs the plane resident NEXT to the selection matrices;
+        # strict fold pick returns None when even fold=1 overflows
+        dsrc_mode = ("vmem" if _pick_fold(W, bz * by, Wp, k1=3.0, k2=4,
+                                          extra=plane_bytes,
+                                          strict=True) is not None
+                     else "scatter")
+    if fold is None:
+        extra = plane_bytes if dsrc_mode == "vmem" else bz * by * Wp * 4
+        fold = _pick_fold(W, bz * by, Wp, k1=3.0, k2=4, extra=extra,
+                          strict=(dsrc_mode == "vmem"))
+        if fold is None:
+            fold = 1
+    assert H % TILE == 0 and TILE % fold == 0
+
+    (n_t, n_f, FW, z_lo, y_lo, ok,
+     zs_p, ys_p, xs_p, g_t) = _bwd3d_host(flow, g, C, bz, by, fold)
+
+    vmem_acc = dsrc_mode == "vmem"
+    if vmem_acc:
+        out_spec = pl.BlockSpec((1, D, H, Wp),
+                                lambda bc, j, ylo, zlo: (bc, 0, 0, 0))
+        out_shape = jax.ShapeDtypeStruct((B * C, D, H, Wp), jnp.float32)
+    else:
+        out_spec = pl.BlockSpec((1, 1, bz, by, Wp),
+                                lambda bc, j, ylo, zlo: (bc, j, 0, 0, 0))
+        out_shape = jax.ShapeDtypeStruct((B * C, n_t, bz, by, Wp),
+                                         jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B * C, n_t),
+        in_specs=[
+            pl.BlockSpec((1, 1, n_f, FW),
+                         lambda bc, j, ylo, zlo: (bc // C, j, 0, 0)),
+            pl.BlockSpec((1, 1, n_f, FW),
+                         lambda bc, j, ylo, zlo: (bc // C, j, 0, 0)),
+            pl.BlockSpec((1, 1, n_f, FW),
+                         lambda bc, j, ylo, zlo: (bc // C, j, 0, 0)),
+            pl.BlockSpec((1, 1, n_f, FW),
+                         lambda bc, j, ylo, zlo: (bc, j, 0, 0)),
+        ],
+        out_specs=out_spec,
+        scratch_shapes=[
+            pltpu.VMEM((bz * by, Wp), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_bwd_kernel3d_dsrc, C, D, H, W, Wp, bz, by,
+                          fold, precision, vmem_acc),
+        out_shape=out_shape,
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(y_lo, z_lo, zs_p, ys_p, xs_p, g_t)
+
+    if vmem_acc:
+        dsrc = jnp.moveaxis(out[..., :W].reshape(B, C, D, H, W), 1, -1)
+        return dsrc, ok
 
     # scatter each tile's (bz, by, Wp) band gradient back at (z_lo, y_lo)
     z_lo_bc = jnp.repeat(z_lo, C, axis=0)  # (B*C, n_t)
@@ -674,13 +855,30 @@ def warp3d_banded_bwd(src, flow, g, bz: int = BZ, by: int = BY,
         return lax.fori_loop(0, n_t, body,
                              jnp.zeros((D, H, Wp), jnp.float32))
 
-    dsrc_t = jax.vmap(per_image)(dband, z_lo_bc, y_lo_bc)
+    dsrc_t = jax.vmap(per_image)(out, z_lo_bc, y_lo_bc)
     dsrc = jnp.moveaxis(dsrc_t[..., :W].reshape(B, C, D, H, W), 1, -1)
-    # flow is shared across channels: sum their contributions
-    def unfold(a):
-        return a[..., :fold * W].reshape(B, C, D, H, W).sum(axis=1)
+    return dsrc, ok
 
-    dflow = jnp.stack([unfold(dfz), unfold(dfy), unfold(dfx)], axis=-1)
+
+@functools.partial(jax.jit,
+                   static_argnames=("bz", "by", "fold", "interpret",
+                                    "precision", "dsrc_mode"))
+def warp3d_banded_bwd(src, flow, g, bz: int = BZ, by: int = BY,
+                      fold=None, interpret: bool = False,
+                      precision=None, dsrc_mode: str = "auto"):
+    """Full 3-D banded backward: returns (dsrc, dflow, ok).
+
+    Compatibility wrapper over the split halves (see
+    ``warp3d_banded_bwd_dflow`` / ``warp3d_banded_bwd_dsrc``) — the
+    custom-VJP dispatch calls the halves directly so an unused dsrc is
+    dead-code-eliminated."""
+    dflow, ok = warp3d_banded_bwd_dflow(src, flow, g, bz=bz, by=by,
+                                        fold=fold, interpret=interpret,
+                                        precision=precision)
+    dsrc, _ = warp3d_banded_bwd_dsrc(flow, g, bz=bz, by=by, fold=fold,
+                                     interpret=interpret,
+                                     precision=precision,
+                                     dsrc_mode=dsrc_mode)
     return dsrc, dflow, ok
 
 
@@ -1002,15 +1200,18 @@ def _warp3d_fwd(src, flow):
 
 
 def _warp3d_bwd(res, g):
-    """Banded Pallas backward.  The bwd runs FOUR selection matmuls per
-    tile (R/Rz/Ry/dband vs the forward's one), so its cost scales hard
-    with band area — measured at 160^3 on v5e: small bands 166 ms vs XLA
-    VJP 334 ms (2x win), big bands 470 ms at the default bf16x3 emulation
-    (loses).  Dropping the big-band bwd to a cheaper emulation level
-    recovers the win (passes scale the MXU work 3:2:1); BWD_BIG_PRECISION
-    selects that level, or None to fall back to the XLA VJP for big-band
-    fields.  All branches compute the same VJP up to the documented error
-    envelope (see _mxu_dot / test_3d_bwd_precision_variants)."""
+    """Banded Pallas backward.  Each band branch runs the dflow and dsrc
+    HALVES as separate pallas_calls (warp3d_banded_bwd_dflow/_dsrc): when
+    the warp's source is data — no gradient path, e.g. the full-res image
+    warps in VxmDense — the dsrc cotangent is dead and JAX/XLA dead-code-
+    eliminates the entire dsrc kernel, its dband HBM traffic and its
+    scatter, through the lax.cond cascade.  Costs measured at 160^3 on
+    v5e (fused kernels, BWD3D_r03): small bands 166 ms vs XLA VJP 334 ms,
+    big bands win only at reduced emulation (BWD_BIG_PRECISION, 1-pass
+    bf16, 193 ms at 0.3% relative gradient error); BWD_PRECISION sets the
+    tiny/small level the same way.  All branches compute the same VJP up
+    to the documented error envelope (see _mxu_dot /
+    test_3d_bwd_precision_variants)."""
     from dfmir_tpu.ops.warp import warp
 
     src, flow = res
@@ -1020,17 +1221,19 @@ def _warp3d_bwd(res, g):
     D, H = src.shape[1], src.shape[2]
     ok_t = _band3d_ok(flow32, D, H, BZ0, BY0)
 
-    def tiny():
-        dsrc, dflow, _ = warp3d_banded_bwd(src32, flow32, g32, bz=BZ0,
-                                           by=BY0,
-                                           interpret=_INTERPRET)
-        return dsrc, dflow
+    def banded(bz, by, prec):
+        def branch():
+            dflow, _ = warp3d_banded_bwd_dflow(
+                src32, flow32, g32, bz=bz, by=by, interpret=_INTERPRET,
+                precision=prec)
+            dsrc, _ = warp3d_banded_bwd_dsrc(
+                flow32, g32, bz=bz, by=by, interpret=_INTERPRET,
+                precision=prec)
+            return dsrc, dflow
+        return branch
 
-    def small():
-        dsrc, dflow, _ = warp3d_banded_bwd(src32, flow32, g32, bz=BZ,
-                                           by=BY,
-                                           interpret=_INTERPRET)
-        return dsrc, dflow
+    tiny = banded(BZ0, BY0, BWD_PRECISION)
+    small = banded(BZ, BY, BWD_PRECISION)
 
     def xla():
         _, vjp = jax.vjp(
@@ -1043,14 +1246,8 @@ def _warp3d_bwd(res, g):
     else:
         def not_small():
             ok_b = _band3d_ok(flow32, D, H, BZ2, BY2)
-
-            def big():
-                dsrc, dflow, _ = warp3d_banded_bwd(
-                    src32, flow32, g32, bz=BZ2, by=BY2,
-                    interpret=_INTERPRET, precision=BWD_BIG_PRECISION)
-                return dsrc, dflow
-
-            return jax.lax.cond(ok_b, big, xla)
+            return jax.lax.cond(ok_b, banded(BZ2, BY2, BWD_BIG_PRECISION),
+                                xla)
 
     def not_tiny():
         ok_s = _band3d_ok(flow32, D, H, BZ, BY)

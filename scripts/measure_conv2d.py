@@ -127,6 +127,104 @@ def main():
             return (ai + jnp.tile(y, (1, 9)) * jnp.asarray(1e-3, dt),)
         return step, (a,), conv_flops
 
+    def stage_conv7in():
+        # the generator's first conv: 7x7, C_in=1 -> 64 at 256^2.  NHWC
+        # with C_in=1 puts ONE real lane in the contraction operand —
+        # XLA's conv lowering cannot fill the MXU (K = 49*1).
+        xi = mk((B, 256, 256, 1))
+        w7 = mk((7, 7, 1, 64))
+        f = 2.0 * B * 256 * 256 * 49 * 1 * 64
+
+        def step(carry):
+            x7, = carry
+            y = jax.lax.conv_general_dilated(
+                x7, w7, (1, 1), [(3, 3), (3, 3)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return (x7 + jnp.mean(y, axis=-1, keepdims=True)
+                    * jnp.asarray(1e-3, dt),)
+        return step, (xi,), f
+
+    def stage_conv7in_s2d():
+        # same op as an explicit 49-tap im2col: pad, 49 shifted views
+        # concat into channels (K=49 matmul operand), one 1x1 conv
+        xi = mk((B, 256, 256, 1))
+        w7 = mk((7, 7, 1, 64))
+        w49 = jnp.reshape(w7, (1, 1, 49, 64))
+        f = 2.0 * B * 256 * 256 * 49 * 1 * 64
+
+        def step(carry):
+            x7, = carry
+            xp = jnp.pad(x7, [(0, 0), (3, 3), (3, 3), (0, 0)])
+            taps = jnp.concatenate(
+                [xp[:, dy:dy + 256, dx:dx + 256, :]
+                 for dy in range(7) for dx in range(7)], axis=-1)
+            y = jax.lax.conv_general_dilated(
+                taps, w49, (1, 1), [(0, 0), (0, 0)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return (x7 + jnp.mean(y, axis=-1, keepdims=True)
+                    * jnp.asarray(1e-3, dt),)
+        return step, (xi,), f
+
+    def stage_conv7out():
+        # the generator's last conv: 7x7, 64 -> 1 at 256^2 (N=1 lane)
+        xi = mk((B, 256, 256, 64))
+        w7 = mk((7, 7, 64, 1))
+        f = 2.0 * B * 256 * 256 * 49 * 64 * 1
+
+        def step(carry):
+            x7, = carry
+            y = jax.lax.conv_general_dilated(
+                x7, w7, (1, 1), [(3, 3), (3, 3)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return (x7 + y * jnp.asarray(1e-3, dt),)
+        return step, (xi,), f
+
+    def stage_conv7out_wide():
+        # 64 -> 1 rewritten as 7 row-taps of a (7*64 -> 1)... simplest
+        # competitive alternative: keep HWIO but let XLA see it as a
+        # K=49*64 matmul via im2col on the 7 y-shifts only (x handled by
+        # a strided reshape is not free; this measures the 49-tap concat)
+        xi = mk((B, 256, 256, 64))
+        w7 = mk((7, 7, 64, 1))
+        wmm1 = jnp.reshape(w7, (1, 1, 49 * 64, 1))
+        f = 2.0 * B * 256 * 256 * 49 * 64 * 1
+
+        def step(carry):
+            x7, = carry
+            xp = jnp.pad(x7, [(0, 0), (3, 3), (3, 3), (0, 0)])
+            taps = jnp.concatenate(
+                [xp[:, dy:dy + 256, dx:dx + 256, :]
+                 for dy in range(7) for dx in range(7)], axis=-1)
+            y = jax.lax.conv_general_dilated(
+                taps, wmm1, (1, 1), [(0, 0), (0, 0)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return (x7 + y * jnp.asarray(1e-3, dt),)
+        return step, (xi,), f
+
+    def stage_conv7out_tapdot():
+        # 64 -> 1 with the channel contraction FIRST: one matmul
+        # (B*HW, 64) @ (64, 49) puts the MXU's N at 49 tap-planes instead
+        # of 1 output channel; the 49 single-channel partial planes then
+        # shift-add on the VPU (conv7out measured 0.61 TFLOP/s = N=1 lane
+        # starvation; this reorders the same arithmetic)
+        xi = mk((B, 256, 256, 64))
+        w7 = mk((7, 7, 64, 1))
+        # wt[c, k] for tap k=(dy*7+dx)
+        wt = jnp.transpose(jnp.reshape(w7, (49, 64)), (1, 0))
+        f = 2.0 * B * 256 * 256 * 49 * 64 * 1
+
+        def step(carry):
+            x7, = carry
+            z = jnp.einsum("bhwc,ck->bhwk", x7, wt)   # (B,256,256,49)
+            zp = jnp.pad(z, [(0, 0), (3, 3), (3, 3), (0, 0)])
+            y = jnp.zeros((B, 256, 256), z.dtype)
+            for k in range(49):
+                dy, dx = divmod(k, 7)
+                # output[p] sums tap k of input p+delta: plane k shifted
+                y = y + zp[:, dy:dy + 256, dx:dx + 256, k]
+            return (x7 + y[..., None] * jnp.asarray(1e-3, dt),)
+        return step, (xi,), f
+
     def stage_resblock():
         from dfmir_tpu.nets.resnet_gen import ResnetBlock
         blk = ResnetBlock(C)
@@ -139,7 +237,7 @@ def main():
         def step(carry):
             xi, = carry
             y = blk.apply({"params": params}, xi)
-            return (y * jnp.asarray(0.999, dt),)
+            return ((y * jnp.asarray(0.999, y.dtype)).astype(xi.dtype),)
         return step, (x,), 2 * conv_flops
 
     def stage_resblock_chain():
@@ -158,8 +256,8 @@ def main():
             xi, = carry
             h = xi
             for p in ptrees:
-                h = blk.apply({"params": p}, h)
-            return (h * jnp.asarray(0.999, dt),)
+                h = blk.apply({"params": p}, h).astype(xi.dtype)
+            return ((h * jnp.asarray(0.999, h.dtype)).astype(xi.dtype),)
         return step, (x,), 18 * conv_flops
 
     def stage_netg_fwd():
@@ -192,6 +290,9 @@ def main():
         "conv_shift9": stage_conv_shift9, "conv_im2col": stage_conv_im2col,
         "matmul_peak": stage_matmul_peak, "resblock": stage_resblock,
         "resblock_chain": stage_resblock_chain, "netg_fwd": stage_netg_fwd,
+        "conv7in": stage_conv7in, "conv7in_s2d": stage_conv7in_s2d,
+        "conv7out": stage_conv7out, "conv7out_wide": stage_conv7out_wide,
+        "conv7out_tapdot": stage_conv7out_tapdot,
     }
     for name in args.stages.split(","):
         try:

@@ -232,6 +232,9 @@ def test_3d_banded_bwd_matches_xla_vjp(rng, shape, scale):
 
 
 def test_3d_custom_vjp_matches_xla_grad(rng, monkeypatch):
+    """Dispatch-level gradient vs the XLA VJP, at the envelope of the
+    SHIPPED tiny/small backward emulation level (BWD_PRECISION — the
+    measured end-to-end winner; see the module constant)."""
     from dfmir_tpu.ops import warp_pallas
     from dfmir_tpu.ops.warp_pallas import _warp3d
 
@@ -243,9 +246,12 @@ def test_3d_custom_vjp_matches_xla_grad(rng, monkeypatch):
                   argnums=(0, 1))(src, flow)
     gx = jax.grad(lambda s, f: jnp.sum(warp(s, f, impl="xla") ** 2),
                   argnums=(0, 1))(src, flow)
+    tol = {None: 2e-4, "bf16x3": 2e-4, "bf16x2": 1e-2,
+           "bf16": 3e-2}[warp_pallas.BWD_PRECISION]
     for a, b in zip(gp, gx):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   atol=2e-4, rtol=1e-4)
+        scale = float(jnp.max(jnp.abs(b))) + 1e-12
+        err = float(jnp.max(jnp.abs(a - b))) / scale
+        assert err <= tol, (warp_pallas.BWD_PRECISION, err)
 
 
 @pytest.mark.parametrize("precision,tol", [
