@@ -301,13 +301,36 @@ def conv2d_im2col(x, w, strides, padding):
 
 # Lowering for 2-D convs whose input or output channel count starves the
 # MXU's K or N axis under XLA's native conv ('lowchan' engages conv2d_
-# tapdot / conv2d_im2col below the channel threshold, 'xla' disables).
-# Default is the measured winner on v5e (CONV2D_r04.json).
-CONV2D_ENDS = os.environ.get("DFMIR_TPU_CONV2D_ENDS", "lowchan")
-if CONV2D_ENDS not in ("xla", "lowchan"):
-    raise ValueError(f"DFMIR_TPU_CONV2D_ENDS must be 'xla' or 'lowchan', "
-                     f"got {CONV2D_ENDS!r}")
+# tapdot / conv2d_im2col below the channel threshold, 'xla' disables;
+# 'out' engages only the C_out<=MAX tapdot side, 'in' only the C_in<=MAX
+# im2col side — the per-direction bisection knobs).  Default is the
+# measured END-TO-END winner on v5e (CONV2D_r04.json): 'out' — tapdot on
+# the low-C_out flow/RGB heads wins both network forwards (netG 16.40 ->
+# 14.11 ms, netR 6.80 -> 6.09 ms) and the full register graph (250.7 ->
+# 283.5 bf16 pairs/s); the im2col 'in' side REGRESSES end to end (netG
+# 17.70 ms, headline 87.4 pairs/s with an 870 s compile — a whole-graph
+# fusion/layout poisoning, not an op-level cost), so 'lowchan' (both
+# sides) loses despite each op winning its microbench in isolation.
+CONV2D_ENDS = os.environ.get("DFMIR_TPU_CONV2D_ENDS", "out")
+if CONV2D_ENDS not in ("xla", "lowchan", "in", "out"):
+    raise ValueError(f"DFMIR_TPU_CONV2D_ENDS must be 'xla', 'lowchan', "
+                     f"'in' or 'out', got {CONV2D_ENDS!r}")
 LOWCHAN_MAX = 8   # engage when C_in or C_out is at/below this
+
+
+def _lowchan_engaged(c_in: int, c_out: int) -> bool:
+    """Does the CONV2D_ENDS mode route a (c_in -> c_out) 2-D conv through
+    Conv2DLC?  'out' covers C_out<=MAX (tapdot); 'in' covers C_in<=MAX
+    when tapdot does NOT apply (im2col); 'lowchan' covers both."""
+    if CONV2D_ENDS == "xla":
+        return False
+    tap = c_out <= LOWCHAN_MAX
+    col = c_in <= LOWCHAN_MAX and not tap
+    if CONV2D_ENDS == "out":
+        return tap
+    if CONV2D_ENDS == "in":
+        return col
+    return tap or col
 
 
 class Conv2DLC(nn.Module):
@@ -317,7 +340,8 @@ class Conv2DLC(nn.Module):
     bit-identical to flax nn.Conv; only the lowering changes: C_out <=
     LOWCHAN_MAX uses conv2d_tapdot (channel contraction first, tap-planes
     shift-add), else C_in <= LOWCHAN_MAX uses conv2d_im2col.  Engaged by
-    ConvND under DFMIR_TPU_CONV2D_ENDS=lowchan (the default)."""
+    ConvND under DFMIR_TPU_CONV2D_ENDS (default 'out': tapdot side only
+    — the measured end-to-end winner; see _lowchan_engaged)."""
 
     features: int
     kernel_size: Sequence[int]
@@ -511,9 +535,7 @@ class ConvND(nn.Module):
                 bias_init=bias_init,
                 name="Conv_0",
             )(x)
-        if (nd == 2 and CONV2D_ENDS == "lowchan"
-                and (self.features <= LOWCHAN_MAX
-                     or x.shape[-1] <= LOWCHAN_MAX)):
+        if nd == 2 and _lowchan_engaged(x.shape[-1], self.features):
             return Conv2DLC(
                 features=self.features,
                 kernel_size=(self.kernel,) * 2,

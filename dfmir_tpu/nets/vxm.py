@@ -22,8 +22,8 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from dfmir_tpu.nets.inits import normal_init
-from dfmir_tpu.nets.layers import (CONV2D_ENDS, Conv2DLC, Conv3DZ, ConvND,
-                                   upsample_nearest)
+from dfmir_tpu.nets.layers import (Conv2DLC, Conv3DZ, ConvND,
+                                   _lowchan_engaged, upsample_nearest)
 from dfmir_tpu.ops.integrate import resize_flow, vecint
 from dfmir_tpu.ops.warp import warp
 
@@ -98,7 +98,7 @@ class VxmDense(nn.Module):
                 bias_init=nn.initializers.zeros_init(),
                 name="flow",
             )(x).astype(jnp.float32)
-        elif CONV2D_ENDS == "lowchan":
+        elif _lowchan_engaged(x.shape[-1], self.ndims):
             # C_out = 2 starves the conv matmul's N axis; contraction-
             # first tapdot lowering (same param tree as nn.Conv)
             flow_field = Conv2DLC(

@@ -285,6 +285,29 @@ def main():
             return (xi + y.astype(jnp.float32) * 1e-3,)
         return step, (img,), f
 
+    def stage_netr_fwd():
+        # the register graph's other half: 2-D VxmDense at 256^2 in
+        # registration mode (unet + flow head + vecint + full-res warp).
+        # Bisects the CONV2D_ENDS regression between netG and netR.
+        from dfmir_tpu.nets.vxm import VxmDense
+        net = VxmDense(ndims=2, compute_dtype=args.dtype)
+        img = jnp.asarray(rng.standard_normal((B, 256, 256, 1)),
+                          jnp.float32)
+        tgt = jnp.asarray(rng.standard_normal((B, 256, 256, 1)),
+                          jnp.float32)
+        params = jax.eval_shape(
+            lambda: net.init(jax.random.PRNGKey(0), img, tgt))["params"]
+        params = jax.tree.map(
+            lambda s: jnp.asarray(
+                rng.standard_normal(s.shape) * 0.02, s.dtype), params)
+
+        def step(carry):
+            xi, = carry
+            y, flow = net.apply({"params": params}, xi, tgt,
+                                registration=True)
+            return (xi + y.astype(jnp.float32) * 1e-3,)
+        return step, (img,), None
+
     table = {
         "conv_hot": stage_conv_hot, "conv_hot_same": stage_conv_hot_same,
         "conv_shift9": stage_conv_shift9, "conv_im2col": stage_conv_im2col,
@@ -293,6 +316,7 @@ def main():
         "conv7in": stage_conv7in, "conv7in_s2d": stage_conv7in_s2d,
         "conv7out": stage_conv7out, "conv7out_wide": stage_conv7out_wide,
         "conv7out_tapdot": stage_conv7out_tapdot,
+        "netr_fwd": stage_netr_fwd,
     }
     for name in args.stages.split(","):
         try:
@@ -300,9 +324,10 @@ def main():
             _log(f"stage {name}")
             sec = _measure_chained(step, carry, args.iters)
             stages[f"{name}_ms"] = round(sec * 1e3, 4)
-            stages[f"{name}_tflops"] = round(flops / sec / 1e12, 2)
+            if flops is not None:
+                stages[f"{name}_tflops"] = round(flops / sec / 1e12, 2)
             _log(f"# {name}: {stages[f'{name}_ms']} ms, "
-                 f"{stages[f'{name}_tflops']} TFLOP/s")
+                 f"{stages.get(f'{name}_tflops', '-')} TFLOP/s")
         except Exception as e:
             stages[f"{name}_error"] = repr(e)[:200]
             _log(f"# {name} FAILED: {repr(e)[:200]}")
