@@ -342,6 +342,17 @@ def _bench_kernelcheck(args):
             ok_all = False
             continue
         ok_all &= record(f"warp3d_fwd_{name}", out3, ref3)
+        if wp.FWD_PRECISION not in (None, "bf16x3"):
+            # the dispatch SHIPS a reduced forward emulation level
+            # (FWD_PRECISION, measured winner WARPFWD_r04) — gate it at
+            # the envelope pinned by test_3d_fwd_precision_variants
+            fwd_tol = {"bf16x2": 5e-3, "bf16": 1e-2}[wp.FWD_PRECISION]
+            outs, oks = wp.warp3d_banded(src3, flow3, bz=bz, by=by,
+                                         precision=wp.FWD_PRECISION)
+            scale3 = float(jnp.max(jnp.abs(ref3)))
+            ok_all &= bool(oks) and record(
+                f"warp3d_fwd_{name}_shipped", outs / max(scale3, 1e-12),
+                ref3 / max(scale3, 1e-12), tol_override=fwd_tol)
         if name in ("tiny", "small"):
             # gate the SHIPPED dispatch config: the tiny/small backward
             # runs at BWD_PRECISION (the measured end-to-end winner,

@@ -35,6 +35,7 @@ span exceeds BAND (violent flows) the caller falls back to the XLA path —
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -78,6 +79,24 @@ BWD_PRECISION = "bf16"
 # dispatch auto-picks fold for the shipped bf16 level (see _pick_fold),
 # which fits.
 BWD_BIG_PRECISION = "bf16"
+
+# Emulation level for the 3-D FORWARD selection matmuls, or None to use
+# the module PRECISION (bf16x3).  The forward's error lands directly in
+# the warped intensities (not just gradients) — but the whole 3-D engine
+# runs bf16 activations (2^-8 ~ 3.9e-3 relative), so a single-pass bf16
+# selection matmul adds error of the SAME class as every conv in the
+# step.  Measured on v5e at 160^3 (scripts/measure_warp_fwd.py,
+# WARPFWD_r04.json): full-res warp 138.6 -> 90.8 -> 51.4 ms and 80^3
+# bidir vecint 40.7 -> 30.3 -> 24.3 ms across bf16x3/bf16x2/bf16, at
+# 1.2e-5 / 2.1e-3 / 4.2e-3 max relative intensity error — bf16 ships
+# (2-D warps keep bf16x3: the flagship's 1e-3 end-to-end parity bar).
+# Envelope 1e-2 relative, pinned by test_3d_fwd_precision_variants and
+# gated on hardware by bench --mode kernelcheck.  Env-overridable:
+# DFMIR_TPU_WARP_FWD_PRECISION=bf16|bf16x2|bf16x3.
+FWD_PRECISION = os.environ.get("DFMIR_TPU_WARP_FWD_PRECISION") or "bf16"
+if FWD_PRECISION not in (None, "bf16", "bf16x2", "bf16x3"):
+    raise ValueError(f"DFMIR_TPU_WARP_FWD_PRECISION must be 'bf16', "
+                     f"'bf16x2' or 'bf16x3', got {FWD_PRECISION!r}")
 
 
 def _mxu_dot(a, b, dims, precision=None):
@@ -291,8 +310,9 @@ def _pick_fold(W, rows, wp, k1, k2, cap=15_000_000, extra=0, strict=False):
     return best[1] if best is not None else None
 
 
-def _kernel3d(C, D, H, W, Wp, bz, by, fold, y_lo_ref, z_lo_ref, zs_ref,
-              ys_ref, xs_ref, src_ref, out_ref, band, sem):
+def _kernel3d(C, D, H, W, Wp, bz, by, fold, precision, y_lo_ref,
+              z_lo_ref, zs_ref, ys_ref, xs_ref, src_ref, out_ref, band,
+              sem):
     """Trilinear banded kernel: the (z, y) corner pairs fold into ONE
     weighted one-hot selection matrix over the flattened (bz*by) band
     rows; x-corners reduce on the VPU as in 2-D.  ``fold`` output rows
@@ -366,7 +386,7 @@ def _kernel3d(C, D, H, W, Wp, bz, by, fold, y_lo_ref, z_lo_ref, zs_ref,
             + jnp.where(iota_band == rz1 * by + ry1,
                         wz * vz1 * wy * vy1, 0.0)
         )
-        R = _mxu_dot(bandflat, M, ((0,), (0,)))
+        R = _mxu_dot(bandflat, M, ((0,), (0,)), precision=precision)
         OHx = (jnp.where(iota_src == x0c, (1.0 - wx) * vx0, 0.0)
                + jnp.where(iota_src == x1c, wx * vx1, 0.0))
         out_ref[0, 0, pl.ds(t, 1), :] = jnp.sum(R * OHx, axis=0,
@@ -374,12 +394,15 @@ def _kernel3d(C, D, H, W, Wp, bz, by, fold, y_lo_ref, z_lo_ref, zs_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("bz", "by", "fold", "interpret"))
+                   static_argnames=("bz", "by", "fold", "interpret",
+                                    "precision"))
 def warp3d_banded(src, flow, bz: int = BZ, by: int = BY, fold=None,
-                  interpret: bool = False):
+                  interpret: bool = False, precision=None):
     """Banded Pallas trilinear warp, 3-D NDHWC.  Returns (out, ok).
 
-    ``fold=None`` picks the packing-optimal lane-fold (see _pick_fold)."""
+    ``fold=None`` picks the packing-optimal lane-fold (see _pick_fold).
+    ``precision`` overrides the selection-matmul emulation level for THIS
+    call (see ``_mxu_dot``; None = module PRECISION, bf16x3)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -454,7 +477,8 @@ def warp3d_banded(src, flow, bz: int = BZ, by: int = BY, fold=None,
         ],
     )
     out_t = pl.pallas_call(
-        functools.partial(_kernel3d, C, D, H, W, Wp, bz, by, fold),
+        functools.partial(_kernel3d, C, D, H, W, Wp, bz, by, fold,
+                          precision),
         out_shape=jax.ShapeDtypeStruct((B * C, n_t, n_f, FW), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -1168,21 +1192,24 @@ def _warp3d(src, flow):
 
     def tiny():
         return warp3d_banded(src32, flow32, bz=BZ0, by=BY0,
-                             interpret=_INTERPRET)[0]
+                             interpret=_INTERPRET,
+                             precision=FWD_PRECISION)[0]
 
     def not_tiny():
         ok_s = _band3d_ok(flow32, D, H, BZ, BY)
 
         def small():
             return warp3d_banded(src32, flow32, bz=BZ, by=BY,
-                                 interpret=_INTERPRET)[0]
+                                 interpret=_INTERPRET,
+                                 precision=FWD_PRECISION)[0]
 
         def not_small():
             ok_b = _band3d_ok(flow32, D, H, BZ2, BY2)
 
             def big():
                 return warp3d_banded(src32, flow32, bz=BZ2, by=BY2,
-                                     interpret=_INTERPRET)[0]
+                                     interpret=_INTERPRET,
+                                     precision=FWD_PRECISION)[0]
 
             def xla():
                 return warp(src, flow, mode="bilinear",
