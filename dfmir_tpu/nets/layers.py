@@ -154,12 +154,21 @@ def conv3d_hybrid(x, w, strides, padding):
     VJP of conv3d_zdecomp, which computes the identical mathematical
     function — exact, not an approximation.
 
-    MEASURED REJECTION (BENCH_MODES_r04.json conv_impl_ab.hybrid_ms): the
-    hybrid lands at 704 ms/step vs zdecomp's 597 — the isolated-forward
-    win does not survive the custom_vjp seam (the zdecomp primal gets
-    re-traced inside the backward and XLA no longer fuses the residual
-    reuse across it).  Kept selectable for future re-measurement; the
-    default stays 'zdecomp'.
+    The first hybrid attempt (jax.vjp of conv3d_zdecomp inside the
+    backward) measured 704 ms/step vs zdecomp's 597 — jax.vjp RE-RUNS
+    the primal forward to build the linearization, so every backward
+    paid an extra zdecomp forward.  A conv is linear in each argument
+    separately, so jax.linear_transpose builds the same fast conv2d
+    dgrad/wgrad lowerings from a shape-only trace — no primal compute.
+
+    MEASURED REJECTION x2 (BENCH_MODES_r04.json conv_impl_ab): even the
+    linear_transpose form lands at 388.6 ms/step vs zdecomp's 273.4 —
+    the fused whole-graph zdecomp backward reuses the forward's stacked
+    z-tap tensor for wgrad, while the custom_vjp seam forces the
+    backward to rebuild it from x (extra HBM round trip per conv) and
+    blocks fusion across the boundary; the 24 ms native-forward win
+    never comes close to covering that.  Kept selectable for future
+    re-measurement; the default stays 'zdecomp'.
     """
     return _conv3d_xla(x, w, strides, padding)
 
@@ -170,9 +179,11 @@ def _conv3d_hybrid_fwd(x, w, strides, padding):
 
 def _conv3d_hybrid_bwd(strides, padding, res, g):
     x, w = res
-    _, vjp = jax.vjp(
-        lambda x_, w_: conv3d_zdecomp(x_, w_, strides, padding), x, w)
-    return vjp(g)
+    (dx,) = jax.linear_transpose(
+        lambda x_: conv3d_zdecomp(x_, w, strides, padding), x)(g)
+    (dw,) = jax.linear_transpose(
+        lambda w_: conv3d_zdecomp(x, w_, strides, padding), w)(g)
+    return dx, dw
 
 
 conv3d_hybrid.defvjp(_conv3d_hybrid_fwd, _conv3d_hybrid_bwd)
