@@ -86,6 +86,10 @@ def main():
     ap.add_argument("--n_train", type=int, default=48)
     ap.add_argument("--n_test", type=int, default=8)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--flow_amp", type=float, default=6.0,
+                    help="misalignment amplitude in px (smooth 6-cell "
+                         "flow); larger = lower before-Dice = more "
+                         "registration headroom for the eval")
     args = ap.parse_args()
 
     rng = np.random.default_rng(args.seed)
@@ -101,9 +105,10 @@ def main():
             # modality A: near-linear ramp; modality B: inverted gamma map
             a_img = np.clip(base ** 1.1, 0, 1)
             b_src = np.clip(1.0 - base, 0, 1) ** 0.6
-            # misalign B by a smooth random flow (~±6 px)
-            flow = np.stack([_smooth_noise(rng, args.size, 6, 6.0),
-                             _smooth_noise(rng, args.size, 6, 6.0)], -1)
+            # misalign B by a smooth random flow (~±flow_amp px)
+            amp = args.flow_amp
+            flow = np.stack([_smooth_noise(rng, args.size, 6, amp),
+                             _smooth_noise(rng, args.size, 6, amp)], -1)
             b_img = _warp_bilinear(b_src, flow)
             # quantile-bin labels of the shared anatomy; B's labels ride
             # the SAME ground-truth deformation (nearest), so

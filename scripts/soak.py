@@ -48,6 +48,16 @@ def main():
     ap.add_argument("--reuse_data", action="store_true")
     ap.add_argument("--gpu_ids", default=None,
                     help="forwarded to train.py (-1 = CPU smoke)")
+    ap.add_argument("--n_test", type=int, default=4)
+    ap.add_argument("--print_every_steps", type=int, default=1,
+                    help="loss print/record cadence in steps; >1 removes "
+                         "the per-step device sync from the hot loop")
+    ap.add_argument("--jac_every_steps", type=int, default=5)
+    ap.add_argument("--num_threads", type=int, default=2)
+    ap.add_argument("--save_epoch_freq", type=int, default=0,
+                    help="mid-run checkpoint cadence; 0 = final epoch only")
+    ap.add_argument("--flow_amp", type=float, default=6.0,
+                    help="forwarded to make_soak_data.py (misalignment px)")
     args = ap.parse_args()
 
     data = os.path.join(args.workdir, "data")
@@ -60,11 +70,12 @@ def main():
             [sys.executable, os.path.join(REPO, "scripts",
                                           "make_soak_data.py"),
              "--out", data, "--size", str(args.size),
-             "--n_train", str(args.n_train), "--n_test", "4"],
+             "--n_train", str(args.n_train), "--n_test", str(args.n_test),
+             "--flow_amp", str(args.flow_amp)],
             check=True, cwd=REPO)
 
-    # One print record per step (print_freq counts images), deformation
-    # health every 5 steps, no mid-run checkpoints or dashboard.
+    # Loss record every print_every_steps steps (print_freq counts
+    # images), deformation health every jac_every_steps, no dashboard.
     bs = args.batch
     cmd = [
         sys.executable, os.path.join(REPO, "train.py"),
@@ -73,14 +84,15 @@ def main():
         "--batch_size", str(bs), "--compute_dtype", args.dtype,
         "--n_epochs", str(args.epochs),
         "--n_epochs_decay", str(args.epochs),
-        "--print_freq", str(bs), "--jac_freq", str(5 * bs),
+        "--print_freq", str(args.print_every_steps * bs),
+        "--jac_freq", str(args.jac_every_steps * bs),
         "--display_freq", "1000000000",
         "--save_latest_freq", "1000000000",
-        # one checkpoint at the final epoch (2*epochs % 2*epochs == 0) —
-        # scripts/evaluate.py scores it for the registration-quality
-        # artifact (EVAL_rNN.json)
-        "--save_epoch_freq", str(2 * args.epochs),
-        "--num_threads", "2",
+        # checkpoint at the final epoch (2*epochs % freq == 0 there) plus
+        # optional mid-run saves — scripts/evaluate.py scores them for
+        # the registration-quality artifact (EVAL_rNN.json)
+        "--save_epoch_freq", str(args.save_epoch_freq or 2 * args.epochs),
+        "--num_threads", str(args.num_threads),
     ]
     if args.gpu_ids is not None:
         cmd += ["--gpu_ids", args.gpu_ids]
@@ -89,12 +101,16 @@ def main():
     if args.gpu_ids == "-1":
         backend = "cpu"
     else:
-        probe = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; print(jax.default_backend())"],
-            capture_output=True, text=True, timeout=240, cwd=REPO)
-        backend = (probe.stdout or "").strip().splitlines()[-1] \
-            if probe.returncode == 0 and probe.stdout.strip() else "unknown"
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.default_backend())"],
+                capture_output=True, text=True, timeout=240, cwd=REPO)
+            backend = (probe.stdout or "").strip().splitlines()[-1] \
+                if probe.returncode == 0 and probe.stdout.strip() \
+                else "unknown"
+        except (subprocess.TimeoutExpired, OSError):
+            backend = "unknown"  # probe hiccup must not abort the soak
     print(f"soak: backend={backend}", flush=True)
     print("soak:", " ".join(cmd), flush=True)
     log_path = os.path.join(args.workdir, "train.log")
@@ -132,11 +148,18 @@ def main():
         return round(sum(vals) / len(vals), 5) if vals else None
 
     jac_recs = [r for r in records if "fold" in r["losses"]]
+    # records are loss prints (one per print_every_steps optimizer steps);
+    # reconstruct the optimizer-step count from the last record's position
+    steps_per_epoch = max(1, args.n_train // bs)
+    last = records[-1]
+    total_steps = ((last.get("epoch", 1) - 1) * steps_per_epoch
+                   + round(last.get("counter_ratio", 1.0) * steps_per_epoch))
     summary = {
         "what": "flagship joint model (translate+NCE+register) trained via "
                 "the real train.py CLI on structured synthetic multimodal "
                 f"pairs, {args.size}^2 batch {bs} {args.dtype}",
-        "steps": len(records),
+        "steps": total_steps,
+        "loss_records": len(records),
         "epochs_seen": records[-1].get("epoch"),
         "config": {"size": args.size, "batch": bs, "dtype": args.dtype,
                    "n_train_images": args.n_train,
