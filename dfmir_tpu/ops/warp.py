@@ -38,6 +38,39 @@ def identity_grid(spatial, dtype=jnp.float32):
     return jnp.stack(axes, axis=-1)
 
 
+def _gather1d(src, ix):
+    """src (B,W,C); ix (B,w) int32 -> (B,w,C)."""
+    return jnp.take_along_axis(src, ix[..., None], axis=1)
+
+
+def _sample1d_linear(src, x):
+    """Linear sample of src (B,W,C) at absolute pixel coords x (B,w).
+
+    The 1-D case of the reference SpatialTransformer
+    (/root/reference/models/voxelmorph/torchvoxelmorph/layers.py:6-48 accepts
+    1/2/3-D): zero padding outside [0, W-1], align_corners identity."""
+    B, W, C = src.shape
+    x0 = jnp.floor(x)
+    wx = (x - x0)[..., None]
+    x0i = x0.astype(jnp.int32)
+
+    def corner(xi):
+        valid = (xi >= 0) & (xi <= W - 1)
+        v = _gather1d(src, jnp.clip(xi, 0, W - 1))
+        return v * valid[..., None].astype(src.dtype)
+
+    one = jnp.ones((), src.dtype)
+    return corner(x0i) * (one - wx) + corner(x0i + 1) * wx
+
+
+def _sample1d_nearest(src, x):
+    B, W, C = src.shape
+    xi = jnp.rint(x).astype(jnp.int32)
+    valid = (xi >= 0) & (xi <= W - 1)
+    v = _gather1d(src, jnp.clip(xi, 0, W - 1))
+    return v * valid[..., None].astype(src.dtype)
+
+
 def _gather2d(src, iy, ix):
     """src (B,H,W,C); iy/ix (B,h,w) int32 -> (B,h,w,C) via one linear gather."""
     B, H, W, C = src.shape
@@ -156,7 +189,13 @@ def grid_sample_pixel(src, coords, mode="bilinear"):
     Zero padding outside the valid range (torch padding_mode='zeros').
     """
     nd = coords.shape[-1]
-    if nd == 2:
+    if nd == 1:
+        x = coords[..., 0]
+        if mode in ("bilinear", "linear"):
+            return _sample1d_linear(src, x)
+        if mode == "nearest":
+            return _sample1d_nearest(src, x)
+    elif nd == 2:
         y, x = coords[..., 0], coords[..., 1]
         if mode == "bilinear":
             return _sample2d_bilinear(src, y, x)

@@ -64,8 +64,14 @@ PRECISION = "bf16x3"
 # bf16x3 vs 108.0 ms at bf16 vs 137.9 at bf16x2 — bf16 ships.  Error
 # envelope 3e-2 relative per warp VJP, pinned by
 # test_3d_bwd_precision_variants / test_split_bwd_precision_envelopes and
-# gated on hardware by bench --mode kernelcheck.
-BWD_PRECISION = "bf16"
+# gated on hardware by bench --mode kernelcheck.  Env-overridable (like
+# FWD_PRECISION) so a full-precision parity/debug run of the shipped
+# gradient path needs no source edit:
+# DFMIR_TPU_WARP_BWD_PRECISION=bf16|bf16x2|bf16x3.
+BWD_PRECISION = os.environ.get("DFMIR_TPU_WARP_BWD_PRECISION") or "bf16"
+if BWD_PRECISION not in (None, "bf16", "bf16x2", "bf16x3"):
+    raise ValueError(f"DFMIR_TPU_WARP_BWD_PRECISION must be 'bf16', "
+                     f"'bf16x2' or 'bf16x3', got {BWD_PRECISION!r}")
 
 # Emulation level for the BIG-band 3-D backward ("bf16"/"bf16x2"/"bf16x3"),
 # or None to use the XLA VJP for fields that overflow the small band.
@@ -282,7 +288,8 @@ BZ2 = 32       # big variant — engages on ~±18-voxel smooth flows whose
 BY2 = 48       # long-range variation overflows the small bands
 
 
-def _pick_fold(W, rows, wp, k1, k2, cap=15_000_000, extra=0, strict=False):
+def _pick_fold(W, rows, wp, k1, k2, cap=15_000_000, extra=0, strict=False,
+               margin=1.3):
     """Choose the lane-fold for a banded 3-D kernel variant.
 
     With the PACKED layout the matmul N dimension is ceil(fold*W/128)*128,
@@ -295,19 +302,51 @@ def _pick_fold(W, rows, wp, k1, k2, cap=15_000_000, extra=0, strict=False):
     (the k's absorb the bf16x3 hi/lo copies, the iota compare buffers and
     the 4-corner where() temporaries around the live selection matrix).
     Ties prefer the LARGER fold (fewer subtile iterations, wider MXU
-    ops).  Static per (W, band) — resolved at trace time."""
+    ops).  Static per (W, band) — resolved at trace time.
+
+    The k1/k2 model is calibrated on two hardware points, so in non-strict
+    mode fold=1 is still attempted when its estimate lands within
+    ``margin`` of the cap (the model is deliberately conservative); beyond
+    that the shape is declared infeasible (returns None) so the dispatch
+    can route to the XLA path instead of hitting a raw Mosaic scoped-vmem
+    compile error on an uncalibrated (W, band)."""
     best = None
     for fold in (8, 4, 2, 1):
         if TILE % fold:
             continue
         fwp = -(-fold * W // 128) * 128
         est = 4 * (k1 * rows * fwp + k2 * wp * fwp) + extra
-        if est > cap and not (fold == 1 and not strict):
-            continue
+        if est > cap:
+            if strict or fold != 1 or est > cap * margin:
+                continue
+            import warnings
+            warnings.warn(
+                f"warp_pallas._pick_fold: fold=1 estimate {est / 1e6:.1f}M "
+                f"exceeds the {cap / 1e6:.0f}M scoped-vmem cap (within the "
+                f"{margin}x model margin) for W={W}, rows={rows}; "
+                "attempting compile — walk the band down if Mosaic rejects "
+                "it", stacklevel=2)
         eff = fwp / (fold * W)
         if best is None or eff < best[0] - 1e-9:
             best = (eff, fold)
     return best[1] if best is not None else None
+
+
+def _fold3d_fwd(W, rows, Wp):
+    """Lane-fold for the 3-D forward kernel: k1=4.5 (M + its 4-corner
+    where temps + bf16 copies), k2=6 (iota_src, OHx, R + temps).  None =
+    infeasible even at fold=1 (route to XLA)."""
+    return _pick_fold(W, rows, Wp, k1=4.5, k2=6)
+
+
+def _fold3d_dflow(W, rows, Wp):
+    """Lane-fold for the 3-D dflow backward: M/Mdz/Mdy build+die
+    sequentially so the live set stays near the fwd's (k1=4);
+    Wx/Wxd/R/Rz/Ry overlap more (k2=6).  Anchored on the known-good
+    big-band bwd (rows=1536, FW=512, wp=256 -> est 15.7M, fits) and its
+    fold=4 variant (est 31M, overflows).  None = infeasible (route to
+    XLA)."""
+    return _pick_fold(W, rows, Wp, k1=4.0, k2=6)
 
 
 def _kernel3d(C, D, H, W, Wp, bz, by, fold, precision, y_lo_ref,
@@ -412,9 +451,12 @@ def warp3d_banded(src, flow, bz: int = BZ, by: int = BY, fold=None,
     bz = min(bz, D)
     by = min(by, H)
     if fold is None:
-        # fwd coefficients: k1=4.5 (M + its 4-corner where temps + bf16
-        # copies), k2=6 (iota_src, OHx, R + temps) — see _pick_fold
-        fold = _pick_fold(W, bz * by, Wp, k1=4.5, k2=6)
+        fold = _fold3d_fwd(W, bz * by, Wp)
+        if fold is None:
+            raise ValueError(
+                f"warp3d_banded: no lane-fold fits the scoped-vmem cap for "
+                f"W={W}, band={bz}x{by} (see _pick_fold); use a smaller "
+                "band or the XLA path")
     assert H % TILE == 0 and TILE % fold == 0
 
     zs = (jax.lax.broadcasted_iota(jnp.float32, (D, H, W), 0)[None]
@@ -721,12 +763,12 @@ def warp3d_banded_bwd_dflow(src, flow, g, bz: int = BZ, by: int = BY,
     bz = min(bz, D)
     by = min(by, H)
     if fold is None:
-        # bwd coefficients: M/Mdz/Mdy build+die sequentially so the live
-        # set stays near the fwd's (k1=4); Wx/Wxd/R/Rz/Ry overlap more
-        # (k2=6).  Anchored on the known-good big-band bwd (rows=1536,
-        # FW=512, wp=256 -> est 15.7M, measured to fit) and its fold=4
-        # variant (est 31M, measured to overflow).
-        fold = _pick_fold(W, bz * by, Wp, k1=4.0, k2=6)
+        fold = _fold3d_dflow(W, bz * by, Wp)
+        if fold is None:
+            raise ValueError(
+                f"warp3d_banded_bwd_dflow: no lane-fold fits the "
+                f"scoped-vmem cap for W={W}, band={bz}x{by} (see "
+                "_pick_fold); use a smaller band or the XLA VJP")
     assert H % TILE == 0 and TILE % fold == 0
 
     (n_t, n_f, FW, z_lo, y_lo, ok,
@@ -1187,15 +1229,34 @@ def _warp3d(src, flow):
 
     src32 = src.astype(jnp.float32)
     flow32 = flow.astype(jnp.float32)
-    D, H = src.shape[1], src.shape[2]
-    ok_t = _band3d_ok(flow32, D, H, BZ0, BY0)
+    D, H, W = src.shape[1], src.shape[2], src.shape[3]
+    Wp = -(-W // 128) * 128
 
-    def tiny():
-        return warp3d_banded(src32, flow32, bz=BZ0, by=BY0,
-                             interpret=_INTERPRET,
-                             precision=FWD_PRECISION)[0]
+    def feasible(bz, by):
+        # trace-time VMEM feasibility: an uncalibrated (W, band) whose
+        # fold=1 estimate overflows the scoped-vmem model routes to the
+        # next fallback instead of a Mosaic compile error (ADVICE r4)
+        return _fold3d_fwd(W, min(bz, D) * min(by, H), Wp) is not None
+
+    def xla():
+        return warp(src, flow, mode="bilinear",
+                    impl="xla").astype(jnp.float32)
+
+    def not_small():
+        if not feasible(BZ2, BY2):
+            return xla()
+        ok_b = _band3d_ok(flow32, D, H, BZ2, BY2)
+
+        def big():
+            return warp3d_banded(src32, flow32, bz=BZ2, by=BY2,
+                                 interpret=_INTERPRET,
+                                 precision=FWD_PRECISION)[0]
+
+        return jax.lax.cond(ok_b, big, xla)
 
     def not_tiny():
+        if not feasible(BZ, BY):
+            return not_small()
         ok_s = _band3d_ok(flow32, D, H, BZ, BY)
 
         def small():
@@ -1203,21 +1264,16 @@ def _warp3d(src, flow):
                                  interpret=_INTERPRET,
                                  precision=FWD_PRECISION)[0]
 
-        def not_small():
-            ok_b = _band3d_ok(flow32, D, H, BZ2, BY2)
-
-            def big():
-                return warp3d_banded(src32, flow32, bz=BZ2, by=BY2,
-                                     interpret=_INTERPRET,
-                                     precision=FWD_PRECISION)[0]
-
-            def xla():
-                return warp(src, flow, mode="bilinear",
-                            impl="xla").astype(jnp.float32)
-
-            return jax.lax.cond(ok_b, big, xla)
-
         return jax.lax.cond(ok_s, small, not_small)
+
+    if not feasible(BZ0, BY0):
+        return not_tiny().astype(src.dtype)
+    ok_t = _band3d_ok(flow32, D, H, BZ0, BY0)
+
+    def tiny():
+        return warp3d_banded(src32, flow32, bz=BZ0, by=BY0,
+                             interpret=_INTERPRET,
+                             precision=FWD_PRECISION)[0]
 
     return jax.lax.cond(ok_t, tiny, not_tiny).astype(src.dtype)
 
@@ -1245,8 +1301,13 @@ def _warp3d_bwd(res, g):
     src32 = src.astype(jnp.float32)
     flow32 = flow.astype(jnp.float32)
     g32 = g.astype(jnp.float32)
-    D, H = src.shape[1], src.shape[2]
-    ok_t = _band3d_ok(flow32, D, H, BZ0, BY0)
+    D, H, W = src.shape[1], src.shape[2], src.shape[3]
+    Wp = -(-W // 128) * 128
+
+    def feasible(bz, by):
+        # dflow is the VMEM-binding kernel half (dsrc auto-routes to its
+        # scatter fallback on its own); see _warp3d.feasible
+        return _fold3d_dflow(W, min(bz, D) * min(by, H), Wp) is not None
 
     def banded(bz, by, prec):
         def branch():
@@ -1268,7 +1329,7 @@ def _warp3d_bwd(res, g):
             src32, flow32)
         return vjp(g32)
 
-    if BWD_BIG_PRECISION is None:
+    if BWD_BIG_PRECISION is None or not feasible(BZ2, BY2):
         not_small = xla
     else:
         def not_small():
@@ -1276,11 +1337,18 @@ def _warp3d_bwd(res, g):
             return jax.lax.cond(ok_b, banded(BZ2, BY2, BWD_BIG_PRECISION),
                                 xla)
 
-    def not_tiny():
-        ok_s = _band3d_ok(flow32, D, H, BZ, BY)
-        return jax.lax.cond(ok_s, small, not_small)
+    if not feasible(BZ, BY):
+        not_tiny = not_small
+    else:
+        def not_tiny():
+            ok_s = _band3d_ok(flow32, D, H, BZ, BY)
+            return jax.lax.cond(ok_s, small, not_small)
 
-    dsrc, dflow = jax.lax.cond(ok_t, tiny, not_tiny)
+    if not feasible(BZ0, BY0):
+        dsrc, dflow = not_tiny()
+    else:
+        ok_t = _band3d_ok(flow32, D, H, BZ0, BY0)
+        dsrc, dflow = jax.lax.cond(ok_t, tiny, not_tiny)
     return dsrc.astype(src.dtype), dflow.astype(flow.dtype)
 
 

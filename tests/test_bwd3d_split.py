@@ -106,7 +106,11 @@ def test_dsrc_kernel_dce_when_src_is_data():
     (the dsrc kernels AND the dead primal-retrace fwd kernels) must DCE;
     grad wrt both keeps the dsrc kernels.  This is the property the split
     exists for — VxmDense's full-res warps pay zero for dsrc."""
-    from jax._src.interpreters import partial_eval as pe
+    # private JAX API: degrade to a skip (not a false failure) on a JAX
+    # bump that moves/renames it (ADVICE r4)
+    pe = pytest.importorskip("jax._src.interpreters.partial_eval")
+    if not hasattr(pe, "dce_jaxpr"):
+        pytest.skip("jax._src partial_eval.dce_jaxpr no longer exposed")
 
     old = wp._INTERPRET
     wp._INTERPRET = True

@@ -268,11 +268,14 @@ def test_sharded_multi_step_no_compounding(model, state, rng):
     (b) grow the MEAN |dp| to update scale (measured 0.06*lr at step 3),
     or (c) bend the loss trajectory (measured total-loss agreement
     3e-7 / 9e-5 / 2e-4 relative over the 3 steps under the 'xla' conv
-    lowering; the tapdot low-channel lowering — CONV2D_ENDS='out', the
-    measured end-to-end winner on chip — shifts per-example rounding in
-    the flow head and lands at 1.4e-3 by step 1, so the bound is 5e-3:
-    still an order of magnitude under any real reduction bug, which the
-    f64 gradient test above pins exactly)."""
+    lowering — that lowering keeps the sharp 1e-3 bound it was calibrated
+    on; the tapdot low-channel lowering — CONV2D_ENDS='out', the measured
+    end-to-end winner on chip — shifts per-example rounding in the flow
+    head and lands at 1.4e-3 by step 1, so it gets 5e-3: still an order
+    of magnitude under any real reduction bug, which the f64 gradient
+    test above pins exactly (ADVICE r4: per-lowering bound)."""
+    from dfmir_tpu.nets.layers import CONV2D_ENDS
+    traj_tol = 1e-3 if CONV2D_ENDS == "xla" else 5e-3
     A, B = batch(rng, b=8)
     lr = jnp.float32(2e-4)
     mesh = make_mesh()
@@ -284,7 +287,7 @@ def test_sharded_multi_step_no_compounding(model, state, rng):
         st_single, m_single = model.train_step(st_single, A, B, key, lr)
         st_shard, m_shard = model.train_step(st_shard, As, Bs, key, lr)
         t_s, t_d = float(m_single["total"]), float(m_shard["total"])
-        assert abs(t_s - t_d) <= 5e-3 * max(abs(t_s), 1e-12), (
+        assert abs(t_s - t_d) <= traj_tol * max(abs(t_s), 1e-12), (
             f"loss trajectory diverged at step {i}: {t_s} vs {t_d}")
     diffs = np.concatenate([
         np.abs(np.asarray(pa) - np.asarray(pb)).ravel()

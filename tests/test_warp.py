@@ -44,6 +44,30 @@ def to_nhwc(x_bchw):
     return jnp.asarray(np.moveaxis(x_bchw, 1, -1))
 
 
+def test_warp1d_linear(rng):
+    """1-D flows (reference SpatialTransformer accepts 1/2/3-D,
+    layers.py:6-48).  Golden: manual zero-padded linear interpolation."""
+    B, W, C = 2, 37, 3
+    src = rng.standard_normal((B, W, C)).astype(np.float32)
+    flow = (rng.standard_normal((B, W, 1)) * 4).astype(np.float32)
+    pos = np.arange(W)[None, :, None] + flow          # (B, W, 1)
+    x = pos[..., 0]
+    x0 = np.floor(x).astype(np.int64)
+    wx = (x - x0)[..., None]
+
+    def corner(xi):
+        valid = ((xi >= 0) & (xi <= W - 1))[..., None]
+        v = np.take_along_axis(src, np.clip(xi, 0, W - 1)[..., None], axis=1)
+        return v * valid
+
+    golden = corner(x0) * (1 - wx) + corner(x0 + 1) * wx
+    ours = warp(jnp.asarray(src), jnp.asarray(flow), mode="bilinear")
+    np.testing.assert_allclose(np.asarray(ours), golden, atol=1e-5)
+    near = warp(jnp.asarray(src), jnp.asarray(flow), mode="nearest")
+    xi = np.rint(x).astype(np.int64)
+    np.testing.assert_allclose(np.asarray(near), corner(xi), atol=1e-6)
+
+
 @pytest.mark.parametrize("mode", ["bilinear", "nearest"])
 @pytest.mark.parametrize("shape", [(2, 3, 16, 24), (1, 1, 32, 32)])
 def test_warp2d_matches_torch(rng, mode, shape):
