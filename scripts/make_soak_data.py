@@ -79,6 +79,97 @@ def _labels(base, n_bins=4):
     return (np.digitize(base, qs).astype(np.uint8) * 60)
 
 
+# 3-D analogs (--ndims 3): .npy volumes for the vxm task
+# (--model vxm --dataset_mode volume).  Same recipe — blob anatomy, smooth
+# ground-truth flow, quantile-bin labels riding the flow — one modality
+# (classic VoxelMorph registers same-modality under NCC).
+
+def _upsample3d(lo, size):
+    """Trilinear upsample of a small 3-D grid to (size,)*3 (pure numpy:
+    successive per-axis linear interpolation)."""
+    out = lo.astype(np.float32)
+    for ax in range(3):
+        n = out.shape[ax]
+        pos = np.linspace(0, n - 1, size).astype(np.float32)
+        i0 = np.minimum(np.floor(pos).astype(np.int64), n - 2)
+        w = (pos - i0).astype(np.float32)
+        a = np.take(out, i0, axis=ax)
+        b = np.take(out, i0 + 1, axis=ax)
+        shape = [1, 1, 1]
+        shape[ax] = size
+        w = w.reshape(shape)
+        out = a * (1 - w) + b * w
+    return out
+
+
+def _smooth_noise3d(rng, size, cells, amp):
+    return _upsample3d(rng.standard_normal((cells,) * 3) * amp, size)
+
+
+def _anatomy3d(rng, size):
+    """Sum of soft 3-D Gaussian blobs on a smooth background, in [0, 1]."""
+    zz, yy, xx = np.mgrid[0:size, 0:size, 0:size].astype(np.float32)
+    img = 0.25 + 0.1 * _smooth_noise3d(rng, size, 4, 1.0)
+    for _ in range(int(rng.integers(8, 16))):
+        c = rng.uniform(0.15 * size, 0.85 * size, 3)
+        s = rng.uniform(0.04 * size, 0.16 * size, 3)
+        amp = rng.uniform(0.3, 0.9) * rng.choice([-1.0, 1.0])
+        img += amp * np.exp(-((zz - c[0]) / s[0]) ** 2
+                            - ((yy - c[1]) / s[1]) ** 2
+                            - ((xx - c[2]) / s[2]) ** 2)
+    img -= img.min()
+    return img / max(img.max(), 1e-6)
+
+
+def _warp_trilinear3d(vol, flow):
+    size = vol.shape
+    grid = np.mgrid[0:size[0], 0:size[1], 0:size[2]].astype(np.float32)
+    pos = [np.clip(grid[i] + flow[..., i], 0, size[i] - 1) for i in range(3)]
+    i0 = [np.minimum(np.floor(p).astype(np.int64), s - 2)
+          for p, s in zip(pos, size)]
+    w = [p - f for p, f in zip(pos, i0)]
+    out = np.zeros_like(vol)
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                wt = ((w[0] if dz else 1 - w[0])
+                      * (w[1] if dy else 1 - w[1])
+                      * (w[2] if dx else 1 - w[2]))
+                out += wt * vol[i0[0] + dz, i0[1] + dy, i0[2] + dx]
+    return out
+
+
+def _warp_nearest3d(vol, flow):
+    size = vol.shape
+    grid = np.mgrid[0:size[0], 0:size[1], 0:size[2]].astype(np.float32)
+    idx = [np.clip(np.rint(grid[i] + flow[..., i]), 0,
+                   size[i] - 1).astype(np.int64) for i in range(3)]
+    return vol[idx[0], idx[1], idx[2]]
+
+
+def _write_volumes(args):
+    rng = np.random.default_rng(args.seed)
+    for phase, n in (("train", args.n_train), ("test", args.n_test)):
+        dirs = {k: os.path.join(args.out, phase + k)
+                for k in ("A", "B", "A_label", "B_label")}
+        for d in dirs.values():
+            os.makedirs(d, exist_ok=True)
+        for i in range(n):
+            base = _anatomy3d(rng, args.size)
+            flow = np.stack([_smooth_noise3d(rng, args.size, 6,
+                                             args.flow_amp)
+                             for _ in range(3)], -1)
+            b_vol = _warp_trilinear3d(base, flow)
+            a_lab = _labels(base)
+            b_lab = _warp_nearest3d(a_lab, flow)
+            for key, arr in (("A", base.astype(np.float32)),
+                             ("B", b_vol.astype(np.float32)),
+                             ("A_label", a_lab), ("B_label", b_lab)):
+                np.save(os.path.join(dirs[key], f"pair_{i:03d}.npy"), arr)
+    print(f"wrote {args.n_train}+{args.n_test} {args.size}^3 volume pairs "
+          f"(+labels) to {args.out}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/soak/data")
@@ -90,7 +181,14 @@ def main():
                     help="misalignment amplitude in px (smooth 6-cell "
                          "flow); larger = lower before-Dice = more "
                          "registration headroom for the eval")
+    ap.add_argument("--ndims", type=int, default=2, choices=[2, 3],
+                    help="3 = .npy volume pairs for --model vxm "
+                         "--dataset_mode volume")
     args = ap.parse_args()
+
+    if args.ndims == 3:
+        _write_volumes(args)
+        return
 
     rng = np.random.default_rng(args.seed)
     for phase, n in (("train", args.n_train), ("test", args.n_test)):
