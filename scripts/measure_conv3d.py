@@ -22,6 +22,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--bwd", action="store_true",
+                    help="also time the zdecomp VJP per shape and add "
+                         "the 160^3 flops-dominant decoder shapes")
+    ap.add_argument("--shapes", default=None,
+                    help="override shape list: 'D,H,W,Ci,Co[;...]'")
     args = ap.parse_args()
 
     import jax
@@ -54,13 +59,24 @@ def main():
 
     rng = np.random.default_rng(0)
     # (D,H,W, Cin, Cout): the UNet's hot shapes (encoder L0/L1, decoder
-    # full-res extras)
+    # full-res extras).  --bwd adds the 160^3 flops-dominant shapes and
+    # times the full VJP per shape (fwd+bwd, grads wrt x and k) — the
+    # attribution harness for the 170 ms unet fwdbwd (VERDICT r4 #4).
     shapes = [
         (160, 160, 160, 2, 16),
         (80, 80, 80, 16, 32),
         (160, 160, 160, 18, 16),   # decoder full-res skip-concat conv
         (40, 40, 40, 32, 32),
     ]
+    if args.bwd:
+        shapes += [
+            (160, 160, 160, 34, 16),  # full-res extra conv (dec++input)
+            (160, 160, 160, 16, 16),  # full-res extra conv 2
+            (80, 80, 80, 64, 32),     # decoder skip-concat conv, L1
+        ]
+    if args.shapes:
+        shapes = [tuple(int(v) for v in s.split(","))
+                  for s in args.shapes.split(";")]
     for (D, H, W, Ci, Co) in shapes:
         x = jnp.asarray(rng.standard_normal((1, D, H, W, Ci)), dt)
         k = jnp.asarray(rng.standard_normal((3, 3, 3, Ci, Co)) * 0.05, dt)
@@ -81,10 +97,22 @@ def main():
                 return xx + upd, kk
             return _measure_chained(step, (x, k), args.iters)
 
+        def run_fwdbwd(fn):
+            def step(carry):
+                xx, kk = carry
+                def scalar(args_):
+                    x_, k_ = args_
+                    return jnp.sum(fn(x_, k_).astype(jnp.float32))
+                dx, dk = jax.grad(scalar)((xx, kk))
+                upd = (jnp.ravel(dx)[:1] * dt.type(1e-6)).astype(dt)
+                return xx + jnp.sum(upd), kk + (jnp.ravel(dk)[0]
+                                                * dt.type(1e-6))
+            return _measure_chained(step, (x, k), args.iters)
+
         _log(f"shape {D}^3 {Ci}->{Co}")
         t3 = run(conv3d)
         t2 = run(conv3d_zdecomp)
-        print(json.dumps({
+        rec = {
             "shape": f"{D}x{H}x{W}_{Ci}to{Co}", "gflop": round(gf, 1),
             "conv3d_ms": round(t3 * 1e3, 2),
             "zdecomp_ms": round(t2 * 1e3, 2),
@@ -92,7 +120,16 @@ def main():
             "conv3d_tflops": round(gf / t3 / 1e3, 1),
             "zdecomp_tflops": round(gf / t2 / 1e3, 1),
             "max_abs_err_f32": err,
-        }), flush=True)
+        }
+        if args.bwd:
+            tb2 = run_fwdbwd(conv3d_zdecomp)
+            rec.update({
+                "zdecomp_fwdbwd_ms": round(tb2 * 1e3, 2),
+                "zdecomp_bwd_ms": round((tb2 - t2) * 1e3, 2),
+                "zdecomp_bwd_tflops": round(2 * gf / max(tb2 - t2, 1e-9)
+                                            / 1e3, 1),
+            })
+        print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":

@@ -30,7 +30,25 @@ def main():
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--stages", default="train_step,loss_fwd,netG_fwd,"
                     "encode_q,netR_fwd")
+    ap.add_argument("--flops", action="store_true",
+                    help="attach per-stage HLO flop counts (lowered-HLO "
+                         "cost analysis, no execution), per-stage TFLOP/s "
+                         "and model-level MFU vs --peak_tflops")
+    ap.add_argument("--peak_tflops", type=float, default=197.0,
+                    help="chip peak for the MFU ledger (v5e bf16: 197)")
+    ap.add_argument("--platform", default=None, choices=["cpu"],
+                    help="force the JAX platform (the axon plugin returns "
+                         "no lowered-HLO cost analysis; run --flops_only "
+                         "on cpu and merge with the on-chip timings)")
+    ap.add_argument("--flops_only", action="store_true",
+                    help="skip the chained timing; print per-stage HLO "
+                         "flop counts only")
     args = ap.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     import jax
     import jax.numpy as jnp
@@ -107,9 +125,24 @@ def main():
     out = {}
     for name in args.stages.split(","):
         step, carry = builders[name]()
+        if args.flops or args.flops_only:
+            ca = jax.jit(step).lower(carry).cost_analysis()
+            if ca is None:
+                print(f"# {name}: no cost analysis on this backend "
+                      "(run --flops_only --platform cpu)", file=sys.stderr)
+            else:
+                fl = ca.get("flops", 0.0)
+                out[name + "_gflop"] = round(fl / 1e9, 1)
+        if args.flops_only:
+            continue
         sec = _measure_chained(step, carry, 12)
         out[name + "_ms"] = round(sec * 1e3, 2)
         print(f"# {name}: {sec * 1e3:.2f} ms/step", file=sys.stderr)
+        if name + "_gflop" in out:
+            fl = out[name + "_gflop"] * 1e9
+            out[name + "_tflops"] = round(fl / sec / 1e12, 1)
+            out[name + "_mfu_pct"] = round(
+                100 * fl / sec / 1e12 / args.peak_tflops, 1)
 
     if "train_step_ms" in out and "loss_fwd_ms" in out:
         out["bwd_plus_adam_ms"] = round(
