@@ -66,6 +66,16 @@ def norm_fn(norm: str):
     raise NotImplementedError(f"normalization layer [{norm}] is not found")
 
 
+# Packed-width lowering for the zdecomp conv2d's low-C_out cases:
+# DFMIR_TPU_CONV3D_WPACK=p (2/4/8) packs p width-neighbors into lanes
+# (see conv2d_wpack); 0/unset = off.  A/B knob, measured on chip by
+# scripts/measure_convpack.py before any default change.
+WPACK = int(os.environ.get("DFMIR_TPU_CONV3D_WPACK", "0") or "0")
+if WPACK not in (0, 1, 2, 4, 8):
+    raise ValueError(f"DFMIR_TPU_CONV3D_WPACK must be 0/1/2/4/8, "
+                     f"got {WPACK}")
+
+
 def conv3d_zdecomp(x, w, strides, padding):
     """3-D conv lowered as ONE 2-D conv over z-tap-concatenated channels.
 
@@ -94,9 +104,14 @@ def conv3d_zdecomp(x, w, strides, padding):
     taps = [xp[:, t:t + span:sz] for t in range(kz)]
     x2 = jnp.stack(taps, axis=4).reshape(B * d_out, H, W, kz * C)
     k2 = w.transpose(1, 2, 0, 3, 4).reshape(ky, kx, kz * ci, co)
-    y = jax.lax.conv_general_dilated(
-        x2, k2, window_strides=(sy, sx), padding=[py, px],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if (WPACK > 1 and (ky, kx) == (3, 3) and (sy, sx) == (1, 1)
+            and tuple(py) == (1, 1) and tuple(px) == (1, 1)
+            and W % WPACK == 0 and co <= 32):
+        y = conv2d_wpack(x2, k2, WPACK)
+    else:
+        y = jax.lax.conv_general_dilated(
+            x2, k2, window_strides=(sy, sx), padding=[py, px],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
     return y.reshape(B, d_out, y.shape[1], y.shape[2], co)
 
 
@@ -104,6 +119,40 @@ def _conv3d_xla(x, w, strides, padding):
     return jax.lax.conv_general_dilated(
         x, w, window_strides=tuple(strides), padding=list(padding),
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+
+def conv2d_wpack(x, k, p: int):
+    """Exact SAME 3x3 stride-1 conv2d with ``p`` width-neighbors packed
+    into channels, so the MXU matmul's N axis carries p*C_out lanes
+    instead of C_out.
+
+    The volumetric UNet's convs put C_out=16..32 on N — 16/128 lanes —
+    and run at 13.5-14.5 TFLOP/s on v5e (scripts/measure_conv3d.py).
+    Packing trades 2p/3 x more flops (the packed kernel spans exactly
+    TWO packed columns thanks to an offset-by-(-1) input packing; taps
+    landing outside an offset's 3-window are zero-filled) for p x lane
+    occupancy.  Bit-exact vs lax conv (scripts/measure_convpack.py).
+
+    x: (N, H, W, C); k: (3, 3, C, Co); requires W % p == 0.
+    """
+    N, H, W, C = x.shape
+    ky, kx, _, Co = k.shape
+    assert (ky, kx) == (3, 3) and W % p == 0, (k.shape, W, p)
+    # packed col j holds original cols p*j-1 .. p*j+p-2
+    xpw = jnp.pad(x, [(0, 0), (0, 0), (1, p - 1), (0, 0)])
+    xs = xpw.reshape(N, H, W // p + 1, p * C)
+    # output offset a, tap dx reads original col u = p*j + a + dx - 1
+    #   = p*(j + dxp) + b - 1  with  dxp, b = divmod(a + dx, p)
+    ks = jnp.zeros((3, 2, p, C, p, Co), k.dtype)
+    for a in range(p):
+        for dx in range(3):
+            dxp, b = divmod(a + dx, p)
+            ks = ks.at[:, dxp, b, :, a, :].add(k[:, dx])
+    ks = ks.reshape(3, 2, p * C, p * Co)
+    ys = jax.lax.conv_general_dilated(
+        xs, ks, window_strides=(1, 1), padding=[(1, 1), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return ys.reshape(N, H, W, Co)
 
 
 def conv3d_tapdot(x, w, strides, padding):

@@ -32,32 +32,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def conv2d_wpack(x, k, p: int):
-    """Exact SAME 3x3 stride-1 conv2d with p width-neighbors packed into
-    channels (N axis becomes p*Cout).  x: (N, H, W, C), k: (3, 3, C, Co),
-    W % p == 0."""
-    import jax.numpy as jnp
-    from jax import lax
-
-    N, H, W, C = x.shape
-    ky, kx, _, Co = k.shape
-    assert (ky, kx) == (3, 3) and W % p == 0
-    # input packing offset -1: packed col j holds original cols
-    # p*j-1 .. p*j+p-2 (zero pad left 1, right p-1)
-    xpw = jnp.pad(x, [(0, 0), (0, 0), (1, p - 1), (0, 0)])
-    xs = xpw.reshape(N, H, W // p + 1, p * C)
-    # packed kernel (3, 2, p*C, p*Co): output offset a needs original tap
-    # u = p*j + a + dx - 1 = p*(j + dxp) + b - 1  =>  dxp, b = divmod(a+dx, p)
-    ks = jnp.zeros((3, 2, p, C, p, Co), k.dtype)
-    for a in range(p):
-        for dx in range(3):
-            dxp, b = divmod(a + dx, p)
-            ks = ks.at[:, dxp, b, :, a, :].add(k[:, dx])
-    ks = ks.reshape(3, 2, p * C, p * Co)
-    ys = lax.conv_general_dilated(
-        xs, ks, window_strides=(1, 1), padding=[(1, 1), (0, 0)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    return ys.reshape(N, H, W, Co)
+from dfmir_tpu.nets.layers import conv2d_wpack  # noqa: E402
 
 
 def main():
