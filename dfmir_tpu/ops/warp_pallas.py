@@ -41,7 +41,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-AVAILABLE = True
+# DFMIR_TPU_WARP_PALLAS=0 disables the Pallas warp kernels entirely
+# (every warp takes the XLA gather path) — the A/B + debugging kill
+# switch for isolating kernel-gradient effects from engine effects.
+AVAILABLE = os.environ.get("DFMIR_TPU_WARP_PALLAS", "1") not in (
+    "0", "false", "off")
 
 TILE = 8        # output rows per grid step
 BAND = 64       # source rows resident in VMEM per tile (static)

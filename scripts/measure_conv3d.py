@@ -101,12 +101,20 @@ def main():
             def step(carry):
                 xx, kk = carry
                 def scalar(args_):
+                    # sum(y^2): a nonlinear scalar keeps the cotangent
+                    # data-dependent so the backward cannot be
+                    # constant-folded (sum(y)'s ones-cotangent lets XLA
+                    # reduce wgrad to a windowed sum)
                     x_, k_ = args_
-                    return jnp.sum(fn(x_, k_).astype(jnp.float32))
+                    y = fn(x_, k_).astype(jnp.float32)
+                    return jnp.sum(jnp.square(y))
                 dx, dk = jax.grad(scalar)((xx, kk))
-                upd = (jnp.ravel(dx)[:1] * dt.type(1e-6)).astype(dt)
-                return xx + jnp.sum(upd), kk + (jnp.ravel(dk)[0]
-                                                * dt.type(1e-6))
+                # tanh-bounded feedback (see measure_convpack.py): keeps
+                # both grads live without compounding drift -> NaN
+                return (xx + (jnp.tanh(jnp.ravel(dx)[0]) * 1e-6
+                              ).astype(dt),
+                        kk + (jnp.tanh(jnp.ravel(dk)[0]) * 1e-6
+                              ).astype(dt))
             return _measure_chained(step, (x, k), args.iters)
 
         _log(f"shape {D}^3 {Ci}->{Co}")

@@ -85,11 +85,19 @@ def main():
         def step(carry):
             xx, kk = carry
             def scalar(args_):
+                # sum(y^2), NOT sum(y): a linear scalar makes the
+                # cotangent a constant and XLA simplifies the whole
+                # backward away (wgrad of a ones-cotangent is a windowed
+                # sum) — measured as a bogus 0.4 ms "backward"
                 x_, k_ = args_
-                return jnp.sum(fn(x_, k_).astype(jnp.float32))
+                y = fn(x_, k_).astype(jnp.float32)
+                return jnp.sum(jnp.square(y))
             dx, dk = jax.grad(scalar)((xx, kk))
-            return (xx + (jnp.ravel(dx)[0] * dt.type(1e-6)).astype(dt),
-                    kk + (jnp.ravel(dk)[0] * dt.type(1e-6)).astype(dt))
+            # tanh-bounded feedback: keeps both grads live in the chain
+            # without drifting the operands (unbounded dk[0] feedback
+            # compounds over the loop and overflows to NaN)
+            return (xx + (jnp.tanh(jnp.ravel(dx)[0]) * 1e-6).astype(dt),
+                    kk + (jnp.tanh(jnp.ravel(dk)[0]) * 1e-6).astype(dt))
         return _measure_chained(step, (x, k), args.iters)
 
     if args.mode in ("occupancy", "all"):
