@@ -75,6 +75,11 @@ if WPACK not in (0, 1, 2, 4, 8):
     raise ValueError(f"DFMIR_TPU_CONV3D_WPACK must be 0/1/2/4/8, "
                      f"got {WPACK}")
 
+# DFMIR_TPU_CONV3D_BARRIER=1: materialize the z-tap stack via
+# optimization_barrier before each zdecomp conv (fusion A/B probe).
+ZBARRIER = os.environ.get("DFMIR_TPU_CONV3D_BARRIER", "0") not in (
+    "0", "", "false", "off")
+
 
 def conv3d_zdecomp(x, w, strides, padding):
     """3-D conv lowered as ONE 2-D conv over z-tap-concatenated channels.
@@ -103,6 +108,13 @@ def conv3d_zdecomp(x, w, strides, padding):
     span = (d_out - 1) * sz + 1
     taps = [xp[:, t:t + span:sz] for t in range(kz)]
     x2 = jnp.stack(taps, axis=4).reshape(B * d_out, H, W, kz * C)
+    if ZBARRIER:
+        # force the stacked z-tap tensor to materialize instead of fusing
+        # into the conv's input — the A/B probe for "does XLA's
+        # stack-into-conv fusion deoptimize the conv kernel?"
+        # (measure_unet3d.py; isolated convs run 4-5x faster than the
+        # same convs inside the UNet graph)
+        x2 = jax.lax.optimization_barrier(x2)
     k2 = w.transpose(1, 2, 0, 3, 4).reshape(ky, kx, kz * ci, co)
     if (WPACK > 1 and (ky, kx) == (3, 3) and (sy, sx) == (1, 1)
             and tuple(py) == (1, 1) and tuple(px) == (1, 1)
