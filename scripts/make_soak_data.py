@@ -106,8 +106,17 @@ def _smooth_noise3d(rng, size, cells, amp):
     return _upsample3d(rng.standard_normal((cells,) * 3) * amp, size)
 
 
-def _anatomy3d(rng, size):
-    """Sum of soft 3-D Gaussian blobs on a smooth background, in [0, 1]."""
+def _anatomy3d(rng, size, texture=0.35):
+    """Sum of soft 3-D Gaussian blobs on a smooth background plus a
+    fine-scale texture field, in [0, 1].
+
+    The texture (cells ~size/8, i.e. ~8-voxel features) rides the
+    ground-truth flow like everything else and is what gives intensity
+    losses (MSE/NCC) gradient teeth everywhere: blob-only volumes are
+    smooth at the deformation scale, their MSE landscape is nearly flat
+    in the flow, and vxm training measurably collapses to a zero-flow
+    saddle (the r5 128^3/64^3 runs) — exactly why real-MRI texture
+    matters to classic VoxelMorph."""
     zz, yy, xx = np.mgrid[0:size, 0:size, 0:size].astype(np.float32)
     img = 0.25 + 0.1 * _smooth_noise3d(rng, size, 4, 1.0)
     for _ in range(int(rng.integers(8, 16))):
@@ -117,6 +126,8 @@ def _anatomy3d(rng, size):
         img += amp * np.exp(-((zz - c[0]) / s[0]) ** 2
                             - ((yy - c[1]) / s[1]) ** 2
                             - ((xx - c[2]) / s[2]) ** 2)
+    if texture > 0:
+        img += texture * _smooth_noise3d(rng, size, max(size // 8, 4), 1.0)
     img -= img.min()
     return img / max(img.max(), 1e-6)
 
@@ -155,12 +166,22 @@ def _write_volumes(args):
         for d in dirs.values():
             os.makedirs(d, exist_ok=True)
         for i in range(n):
-            base = _anatomy3d(rng, args.size)
+            blob = _anatomy3d(rng, args.size, texture=0.0)
+            base = blob
+            if args.texture > 0:
+                # texture the intensities (MSE/NCC gradient teeth) but
+                # keep labels from the smooth anatomy so Dice measures
+                # structure overlap, not texture speckle
+                tex = args.texture * _smooth_noise3d(
+                    rng, args.size, max(args.size // 8, 4), 1.0)
+                base = blob + tex
+                base -= base.min()
+                base /= max(base.max(), 1e-6)
             flow = np.stack([_smooth_noise3d(rng, args.size, 6,
                                              args.flow_amp)
                              for _ in range(3)], -1)
             b_vol = _warp_trilinear3d(base, flow)
-            a_lab = _labels(base)
+            a_lab = _labels(blob)
             b_lab = _warp_nearest3d(a_lab, flow)
             for key, arr in (("A", base.astype(np.float32)),
                              ("B", b_vol.astype(np.float32)),
@@ -184,6 +205,11 @@ def main():
     ap.add_argument("--ndims", type=int, default=2, choices=[2, 3],
                     help="3 = .npy volume pairs for --model vxm "
                          "--dataset_mode volume")
+    ap.add_argument("--texture", type=float, default=0.35,
+                    help="3-D fine-scale texture amplitude (gives "
+                         "intensity losses gradient teeth; 0 = the "
+                         "blob-only volumes that collapse vxm training "
+                         "to a zero-flow saddle)")
     args = ap.parse_args()
 
     if args.ndims == 3:
