@@ -112,13 +112,19 @@ def main():
 
     def stage_unet_fwd():
         # conv tower + flow head only, applied straight on the params
-        # subtrees (VxmDense has no unet-only entry point)
-        import flax.linen as nn
+        # subtrees (VxmDense has no unet-only entry point).  The flow
+        # head must be Conv3DZ — the engine's lowering (nets/vxm.py) —
+        # NOT plain nn.Conv: XLA's native conv3d at C_out=3 is the
+        # measured 0.6-ish TFLOP/s pathology and inflated this stage's
+        # pre-r5 attribution (the "170 ms unet" was part flow-head
+        # artifact).
         from dfmir_tpu.nets.vxm import VxmUnet
+        from dfmir_tpu.nets.layers import Conv3DZ
 
         enc_nf, dec_nf = eng.netR.nb_features
         unet = VxmUnet(tuple(enc_nf), tuple(dec_nf))
-        flow_conv = nn.Conv(3, kernel_size=(3, 3, 3), padding=1)
+        flow_conv = Conv3DZ(3, kernel_size=(3, 3, 3),
+                            padding=[(1, 1)] * 3)
 
         def step(carry):
             s, t = carry
@@ -167,12 +173,14 @@ def main():
         return step, (state.params, src)
 
     def stage_unet_fwdbwd():
-        import flax.linen as nn
+        # flow head via Conv3DZ, matching the engine (see stage_unet_fwd)
         from dfmir_tpu.nets.vxm import VxmUnet
+        from dfmir_tpu.nets.layers import Conv3DZ
 
         enc_nf, dec_nf = eng.netR.nb_features
         unet = VxmUnet(tuple(enc_nf), tuple(dec_nf))
-        flow_conv = nn.Conv(3, kernel_size=(3, 3, 3), padding=1)
+        flow_conv = Conv3DZ(3, kernel_size=(3, 3, 3),
+                            padding=[(1, 1)] * 3)
         x_in = jnp.concatenate([src, tgt], axis=-1).astype(
             jnp.dtype(eng.netR.compute_dtype))
 
