@@ -10,6 +10,16 @@ Stages (batch 8, 256^2, f32 unless --dtype):
   encode_q     encode-only pass on the 3B NCE query images
   netR_fwd     VxmDense fwd (unet + flow head + vecint + warps)
 
+Backward attribution (each *_fwdbwd stage times grad() of the same
+computation with a squared-sum loss so the cotangent is data-dependent —
+sum(y) lets XLA fold constant-cotangent backwards, the 59a2f86 harness
+lesson; bwd cost = <stage>_fwdbwd - <stage> fwd):
+  loss_fwdbwd  grad of _loss_fn wrt all params (fwd + whole backward)
+  netG_fwdbwd  grad of the generator + taps wrt G params
+  encode_fwdbwd grad of the 3B-image encode pass wrt G params
+  netR_fwdbwd  grad of the VxmDense forward wrt R params
+  adam         optimizer update only (scale_by_adam + apply on the tree)
+
 Prints one JSON dict of ms/step (batch) and derived ms/pair.
 """
 
@@ -117,10 +127,94 @@ def main():
             return (chain_imgs([y_source, y_target, pos_flow], a),)
         return step, (A,)
 
+    def _grad_feedback(p, grads):
+        """Fold a scalar tap of every grad leaf back into the params so the
+        chained carry stays data-dependent without drifting."""
+        tap = jnp.asarray(0.0, jnp.float32)
+        for leaf in jax.tree.leaves(grads):
+            tap = tap + jnp.sum(jnp.ravel(leaf)[:1]).astype(jnp.float32)
+        tap = jnp.tanh(tap) * 1e-12
+        return jax.tree.map(lambda a: a + tap.astype(a.dtype), p)
+
+    def _sq(outs):
+        """Data-dependent scalar loss: sum of squares of every output (a
+        plain sum makes the cotangent constant and XLA folds backwards)."""
+        t = jnp.asarray(0.0, jnp.float32)
+        for o in outs:
+            t = t + jnp.sum(jnp.square(o.astype(jnp.float32)))
+        return t * 1e-6
+
+    def stage_loss_fwdbwd():
+        def f(p, a):
+            total, _ = model._loss_fn(p, a, B, key)
+            return total
+
+        def step(carry):
+            p, a = carry
+            grads = jax.grad(f)(p, a)
+            return _grad_feedback(p, grads), a
+        return step, (state.params, A)
+
+    def stage_netG_fwdbwd():
+        real = jnp.concatenate([A, B], axis=0)
+
+        def f(pG, x):
+            fake, feats = model._forward_and_taps(pG, x)
+            return _sq([fake] + list(feats))
+
+        def step(carry):
+            p, x = carry
+            grads = jax.grad(f)(p, x)
+            return _grad_feedback(p, grads), x
+        return step, (state.params["G"], real)
+
+    def stage_encode_fwdbwd():
+        q = jnp.concatenate([A, B, A], axis=0)
+
+        def f(pG, x):
+            return _sq(list(model._encode(pG, x)))
+
+        def step(carry):
+            p, x = carry
+            grads = jax.grad(f)(p, x)
+            return _grad_feedback(p, grads), x
+        return step, (state.params["G"], q)
+
+    def stage_netR_fwdbwd():
+        def f(pR, a):
+            y_source, y_target, pos_flow = model.netR.apply(
+                {"params": model._cast_params(pR)}, a, B)
+            return _sq([y_source, y_target, pos_flow])
+
+        def step(carry):
+            p, a = carry
+            grads = jax.grad(f)(p, a)
+            return _grad_feedback(p, grads), a
+        return step, (state.params["R"], A)
+
+    def stage_adam():
+        fake_grads = jax.tree.map(
+            lambda a: jnp.full(a.shape, 1e-6, a.dtype), state.params)
+        opt0 = (state.opt_state[0]
+                if isinstance(state.opt_state, tuple) and
+                not hasattr(state.opt_state, "_fields")
+                else state.opt_state)
+
+        def step(carry):
+            p, opt = carry
+            updates, new_opt = model.tx.update(fake_grads, opt, p)
+            updates = jax.tree.map(lambda u: -1e-4 * u, updates)
+            import optax
+            return optax.apply_updates(p, updates), new_opt
+        return step, (state.params, opt0)
+
     builders = {
         "train_step": stage_train_step, "loss_fwd": stage_loss_fwd,
         "netG_fwd": stage_netG_fwd, "encode_q": stage_encode_q,
         "netR_fwd": stage_netR_fwd,
+        "loss_fwdbwd": stage_loss_fwdbwd, "netG_fwdbwd": stage_netG_fwdbwd,
+        "encode_fwdbwd": stage_encode_fwdbwd,
+        "netR_fwdbwd": stage_netR_fwdbwd, "adam": stage_adam,
     }
     out = {}
     for name in args.stages.split(","):
